@@ -1,38 +1,514 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operators over the driver-provided
+testdata tables; ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+Tokenization contract shared by both sides: lowercase, split on single
+space, drop empty strings. All hashing that must match across engines is
+md5-based; floats are rounded to fixed decimals; every computed column is
+aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+# --- shared lexicons (duplicated literally in the SQL strings below) ---
+LEXICON = [
+    ("spark", "Apache_Spark"),
+    ("join", "Join_Operator"),
+    ("window", "Window_Function"),
+    ("hash value", "Hash_Value"),
+    ("table part", "Table_Partition"),
+]
+EN_STOP_SQL = "('the','a','an','and','or','of','to','in','is','are','was','were','be','been','it','this','that','for','on','with','as','at','by','from')"
+
+_TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
 
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- entry
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG pipeline on the documents table at sf0.001 —
+    lexicon mention triples → canonicalize → constrained Gibbs → top-k
+    fact summaries per document entity."""
+    from entitysummarization_spark.models.gibbs import DistributedGibbs, GibbsConfig
+    from entitysummarization_spark.operators.canonicalize import canonical_triples
+    from entitysummarization_spark.operators.corpus import build_corpus
+    from entitysummarization_spark.operators.linking import detect_mentions
+    from entitysummarization_spark.operators.summary import top_k_facts
+
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    surf2ent = dict(LEXICON)
+    mentions = detect_mentions(spark, docs, [s for s, _ in LEXICON])
+    triples = mentions.select(
+        F.concat(F.lit("doc:"), F.col("id")).alias("subj"),
+        F.when(F.col("surface").contains(" "), "mentions_phrase")
+        .otherwise("mentions_term")
+        .alias("pred"),
+        F.element_at(
+            F.create_map(*[F.lit(x) for kv in surf2ent.items() for x in kv]),
+            F.col("surface"),
+        ).alias("obj"),
+        F.lit("testdata").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("id")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+    )
+    canon = canonical_triples(triples)
+    b = build_corpus(canon)
+    P, W = int(b.preds.count()), int(b.words.count())
+    if P == 0 or W == 0:
+        return canon
+    g = DistributedGibbs(
+        spark, b.corpus, b.obj_pred, b.lam,
+        GibbsConfig(n_preds=P, n_words=W, base_seed=7, n_partitions=4),
+    )
+    g.run(5)
+    theta = g.theta(for_pairs=b.facts.select("doc_id", "pred_id").distinct())
+    return top_k_facts(b.facts, theta, g.phi(), k=3)
 
 
+# ---------------------------------------------------------------- helpers
+def _word_freq(spark: SparkSession, sf: str) -> DataFrame:
+    from entitysummarization_spark.operators.dedup import tokens_col
+
+    docs = _load(spark, sf, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens_col()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+
+
+_WORD_FREQ_SQL = f"""
+SELECT doc_id, tok AS word, count(*)::BIGINT AS freq
+FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents)
+GROUP BY doc_id, tok
+"""
+
+
+# ---------------------------------------------------------------- queries
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from entitysummarization_spark.operators import dedup, similarity, textstats
+    from entitysummarization_spark.operators.linking import (
+        detect_mentions,
+        ngd_relatedness,
+    )
+    from entitysummarization_spark.streaming.events import (
+        sessionize,
+        windowed_event_counts,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def a1_word_freq(spark, sf):
+        return _word_freq(spark, sf)
+
+    def a2_corpus_stats(spark, sf):
+        return _word_freq(spark, sf).agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("word").alias("n_words"),
+            F.sum("freq").cast("long").alias("n_tokens"),
+        )
+
+    def f10_vocab_prune(spark, sf):
+        return (
+            _word_freq(spark, sf)
+            .groupBy("word")
+            .agg(F.sum("freq").cast("long").alias("tot_freq"))
+            .filter(F.col("tot_freq") >= 50)
+        )
+
+    def j1_dict_lookup(spark, sf):
+        wf = _word_freq(spark, sf)
+        lex = spark.createDataFrame(
+            [(s, e) for s, e in LEXICON if " " not in s], "word string, entity string"
+        )
+        return (
+            wf.join(F.broadcast(lex), "word")
+            .groupBy("entity")
+            .agg(
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.sum("freq").cast("long").alias("total_freq"),
+            )
+        )
+
+    def w6_topk_parts(spark, sf):
+        li = _load(spark, sf, "lineitem")
+        agg = li.groupBy("l_suppkey", "l_partkey").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        w = Window.partitionBy("l_suppkey").orderBy(
+            F.desc("sum_qty"), F.asc("l_partkey")
+        )
+        return (
+            agg.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("l_suppkey", "l_partkey", "sum_qty", "n_lines", "rnk")
+        )
+
+    def a9_top5_avg(spark, sf):
+        ev = _load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .groupBy("user_id")
+            .agg(F.round(F.avg("value"), 4).alias("top5_avg"))
+        )
+
+    def w2_rank_customers(spark, sf):
+        c = _load(spark, sf, "customer")
+        w = Window.partitionBy("c_nationkey").orderBy(
+            F.desc("c_acctbal"), F.asc("c_custkey")
+        )
+        return (
+            c.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 2)
+            .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+        )
+
+    def o2_setops(spark, sf):
+        c = _load(spark, sf, "customer").select(
+            F.col("c_nationkey").cast("int").alias("nationkey")
+        ).distinct()
+        s = _load(spark, sf, "supplier").select(
+            F.col("s_nationkey").cast("int").alias("nationkey")
+        ).distinct()
+        return c.intersect(s)
+
+    def q1_pricing(spark, sf):
+        li = _load(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.count("*").cast("long").alias("count_order"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            )
+        )
+
+    def dedup_exact(spark, sf):
+        return dedup.exact_dedup(_load(spark, sf, "documents"))
+
+    def dedup_ngram_jaccard(spark, sf):
+        return dedup.ngram_jaccard_pairs(
+            _load(spark, sf, "documents"), n=3, top_k=20, max_df=10**9
+        )
+
+    def minhash_lsh(spark, sf):
+        return dedup.minhash_lsh_pairs(
+            _load(spark, sf, "documents"), n_hashes=8, band_size=2
+        )
+
+    def ann_cosine_topk(spark, sf):
+        emb = _load(spark, sf, "embeddings")
+        return similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 20), k=5
+        )
+
+    def lang_id(spark, sf):
+        return textstats.lang_id_en(_load(spark, sf, "documents"))
+
+    def quality(spark, sf):
+        return textstats.quality_score(_load(spark, sf, "documents"))
+
+    def token_stats(spark, sf):
+        return textstats.token_stats(_load(spark, sf, "documents"))
+
+    def fingerprint(spark, sf):
+        return textstats.fingerprint(_load(spark, sf, "documents"))
+
+    def kg_mentions(spark, sf):
+        docs = _load(spark, sf, "documents")
+        m = detect_mentions(spark, docs, [s for s, _ in LEXICON])
+        ent = F.element_at(
+            F.create_map(*[F.lit(x) for kv in dict(LEXICON).items() for x in kv]),
+            F.col("surface"),
+        )
+        return m.select(
+            F.col("id").alias("doc_id"), ent.alias("entity"), "freq"
+        )
+
+    def g10_ngd(spark, sf):
+        # value>90 sparsifies the in-link sets (full sets make NGD degenerate)
+        ev = _load(spark, sf, "events").filter(F.col("value") > 90)
+        return ngd_relatedness(ev, "event_type", "user_id").select(
+            "ent_a", "ent_b", "n_common", "sr"
+        )
+
+    def stream_window_counts(spark, sf):
+        return windowed_event_counts(_load(spark, sf, "events"))
+
+    def sessions(spark, sf):
+        return sessionize(_load(spark, sf, "events"), gap_minutes=30)
+
+    def simhash(spark, sf):
+        # rows-only check (xxhash64 not in DuckDB)
+        return dedup.simhash64(_load(spark, sf, "documents"))
+
+    def kg_pipeline_summaries(spark, sf):
+        # rows-only: full pipeline on the deterministic repos fixture
+        from entitysummarization_spark.fixtures import make_fixture
+        from entitysummarization_spark.plans.pipeline import run_pipeline
+
+        fx = make_fixture(n_files=60, seed=42)
+        res = run_pipeline(
+            spark, spark.createDataFrame(fx.repos), vocab=fx.vocab,
+            n_sweeps=3, k=3, n_partitions=4,
+        )
+        return res.summaries
+
+    return {
+        "a1_word_freq": a1_word_freq,
+        "a2_corpus_stats": a2_corpus_stats,
+        "f10_vocab_prune": f10_vocab_prune,
+        "j1_dict_lookup": j1_dict_lookup,
+        "w6_topk_parts": w6_topk_parts,
+        "a9_top5_avg": a9_top5_avg,
+        "w2_rank_customers": w2_rank_customers,
+        "o2_setops": o2_setops,
+        "q1_pricing": q1_pricing,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "minhash_lsh": minhash_lsh,
+        "ann_cosine_topk": ann_cosine_topk,
+        "lang_id": lang_id,
+        "quality": quality,
+        "token_stats": token_stats,
+        "fingerprint": fingerprint,
+        "kg_mentions": kg_mentions,
+        "g10_ngd": g10_ngd,
+        "stream_window_counts": stream_window_counts,
+        "sessions": sessions,
+        "simhash": simhash,
+        "kg_pipeline_summaries": kg_pipeline_summaries,
+    }
 
 
+# ---------------------------------------------------------------- oracles
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    toks = _TOKS_SQL
+    stop = EN_STOP_SQL
+    shingles3 = f"""
+        SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM (SELECT doc_id, {toks} AS t FROM documents),
+             UNNEST(range(1, len(t) - 1)) u(i)
+        WHERE len(t) >= 3
     """
-    return {}
+    minhash_sig = "SELECT id, " + ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8)
+    ) + f" FROM ({shingles3}) GROUP BY id"
+    bands = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, md5('{bi}' || '|' || h{2*bi} || '|' || h{2*bi+1}) AS bucket FROM sig"
+        for bi in range(4)
+    )
+
+    return {
+        "a1_word_freq": _WORD_FREQ_SQL,
+        "a2_corpus_stats": f"""
+            SELECT count(DISTINCT doc_id) AS n_docs,
+                   count(DISTINCT word) AS n_words,
+                   sum(freq)::BIGINT AS n_tokens
+            FROM ({_WORD_FREQ_SQL})
+        """,
+        "f10_vocab_prune": f"""
+            SELECT word, sum(freq)::BIGINT AS tot_freq
+            FROM ({_WORD_FREQ_SQL}) GROUP BY word HAVING sum(freq) >= 50
+        """,
+        "j1_dict_lookup": f"""
+            SELECT entity, count(DISTINCT doc_id) AS n_docs,
+                   sum(freq)::BIGINT AS total_freq
+            FROM ({_WORD_FREQ_SQL}) t
+            JOIN (VALUES ('spark','Apache_Spark'), ('join','Join_Operator'),
+                         ('window','Window_Function')) l(word, entity)
+              ON t.word = l.word
+            GROUP BY entity
+        """,
+        "w6_topk_parts": """
+            SELECT l_suppkey, l_partkey, sum_qty, n_lines, rnk FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY l_suppkey ORDER BY sum_qty DESC, l_partkey
+              ) AS rnk
+              FROM (SELECT l_suppkey, l_partkey, sum(l_quantity) AS sum_qty,
+                           count(*)::BIGINT AS n_lines
+                    FROM lineitem GROUP BY 1, 2)
+            ) WHERE rnk <= 3
+        """,
+        "a9_top5_avg": """
+            SELECT user_id, round(avg(value), 4) AS top5_avg FROM (
+              SELECT user_id, value, row_number() OVER (
+                  PARTITION BY user_id ORDER BY value DESC, event_id
+              ) AS rn FROM events
+            ) WHERE rn <= 5 GROUP BY user_id
+        """,
+        "w2_rank_customers": """
+            SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal, row_number() OVER (
+                  PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+              ) AS rnk FROM customer
+            ) WHERE rnk <= 2
+        """,
+        "o2_setops": """
+            SELECT DISTINCT c_nationkey::INT AS nationkey FROM customer
+            INTERSECT
+            SELECT DISTINCT s_nationkey::INT AS nationkey FROM supplier
+        """,
+        "q1_pricing": """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+                   count(*)::BIGINT AS count_order,
+                   round(avg(l_quantity), 4) AS avg_qty
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keeper_id, count(*)::BIGINT AS n_copies,
+                   md5(text) AS content_md5
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({shingles3}),
+            sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2),
+            jac AS (
+              SELECT id_a, id_b, n_common,
+                     round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+            SELECT id_a, id_b, n_common, jaccard, rnk FROM (
+              SELECT *, row_number() OVER (
+                  ORDER BY jaccard DESC, id_a, id_b) AS rnk FROM jac
+            ) WHERE rnk <= 20
+        """,
+        "minhash_lsh": f"""
+            WITH sig AS ({minhash_sig}),
+            bands AS ({bands})
+            SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_bands_shared
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+            GROUP BY 1, 2
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_dot_product(q.v, c.v)
+                           / (sqrt(list_dot_product(q.v, q.v))
+                              * sqrt(list_dot_product(c.v, c.v))), 4) AS cosine
+              FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+            SELECT query_id, rank, neighbor_id, cosine FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+              ) AS rank FROM s
+            ) WHERE rank <= 5
+        """,
+        "lang_id": f"""
+            SELECT doc_id,
+                   round(len(list_filter(t, x -> x IN {stop}))
+                         / greatest(len(t), 1), 4) AS en_ratio,
+                   (round(len(list_filter(t, x -> x IN {stop}))
+                          / greatest(len(t), 1), 4) >= 0.05) AS is_en,
+                   len(list_distinct(list_filter(t, x -> x IN {stop})))::BIGINT
+                       AS n_distinct_stop
+            FROM (SELECT doc_id, {toks} AS t FROM documents)
+        """,
+        "quality": f"""
+            SELECT doc_id,
+                   round(least(n / 100.0, 1.0), 4) AS len_term,
+                   round(nd / greatest(n, 1.0), 4) AS div_term,
+                   round(least((ns / greatest(n, 1.0)) / 0.05, 1.0), 4) AS stop_term,
+                   round(0.4 * least(n / 100.0, 1.0)
+                         + 0.4 * (nd / greatest(n, 1.0))
+                         + 0.2 * least((ns / greatest(n, 1.0)) / 0.05, 1.0), 4)
+                       AS quality
+            FROM (
+              SELECT doc_id, len(t)::DOUBLE AS n,
+                     len(list_distinct(t))::DOUBLE AS nd,
+                     len(list_filter(t, x -> x IN {stop}))::DOUBLE AS ns
+              FROM (SELECT doc_id, {toks} AS t FROM documents))
+        """,
+        "token_stats": f"""
+            SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                   len(list_distinct(t))::BIGINT AS n_distinct_tokens,
+                   round(len(array_to_string(t, '')) * 1.0
+                         / greatest(len(t), 1), 4) AS avg_token_len
+            FROM (SELECT doc_id, {toks} AS t FROM documents)
+        """,
+        "fingerprint": f"""
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(t)), ' '))
+                       AS fingerprint
+            FROM (SELECT doc_id, {toks} AS t FROM documents)
+        """,
+        "kg_mentions": f"""
+            WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
+            singles AS (SELECT doc_id, unnest(t) AS w FROM t),
+            bigrams AS (
+              SELECT doc_id, array_to_string(t[i:i+1], ' ') AS w
+              FROM t, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2),
+            m AS (
+              SELECT doc_id, 'Apache_Spark' AS entity FROM singles WHERE w = 'spark'
+              UNION ALL
+              SELECT doc_id, 'Join_Operator' FROM singles WHERE w = 'join'
+              UNION ALL
+              SELECT doc_id, 'Window_Function' FROM singles WHERE w = 'window'
+              UNION ALL
+              SELECT doc_id, 'Hash_Value' FROM bigrams WHERE w = 'hash value'
+              UNION ALL
+              SELECT doc_id, 'Table_Partition' FROM bigrams WHERE w = 'table part')
+            SELECT doc_id, entity, count(*)::BIGINT AS freq FROM m GROUP BY 1, 2
+        """,
+        "g10_ngd": """
+            WITH ev AS (SELECT * FROM events WHERE value > 90),
+            es AS (SELECT DISTINCT event_type, user_id FROM ev),
+            sizes AS (SELECT event_type, count(*)::BIGINT AS sz FROM es GROUP BY 1),
+            tot AS (SELECT count(DISTINCT user_id)::DOUBLE AS w FROM ev),
+            common AS (
+              SELECT a.event_type AS ent_a, b.event_type AS ent_b,
+                     count(*)::BIGINT AS n_common
+              FROM es a JOIN es b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+            SELECT ent_a, ent_b, n_common,
+                   round(1 - (ln(greatest(sa.sz, sb.sz)) - ln(n_common))
+                         / (ln(tot.w) - ln(least(sa.sz, sb.sz))), 4) AS sr
+            FROM common
+            JOIN sizes sa ON sa.event_type = ent_a
+            JOIN sizes sb ON sb.event_type = ent_b
+            CROSS JOIN tot
+            WHERE least(sa.sz, sb.sz) < tot.w
+        """,
+        "stream_window_counts": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_s,
+                   event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "sessions": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+              FROM o)
+            SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+                   epoch_us(min(ts))::BIGINT AS start_us,
+                   epoch_us(max(ts))::BIGINT AS end_us
+            FROM s GROUP BY 1, 2
+        """,
+        # simhash, kg_pipeline_summaries: rows-only (xxhash64 / iterative
+        # sampler are not SQL-expressible) — intentionally omitted.
+    }

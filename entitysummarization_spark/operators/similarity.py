@@ -1,0 +1,169 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  - brute-force cosine top-k: exact baseline; O(Q×N) score pairs but the
+    score math stays JVM-side (zip_with/aggregate inside codegen), and the
+    top-k is a per-query window — no driver collection.
+  - lsh_bucketed_topk: the scale path — random-hyperplane LSH buckets
+    (SimHash for vectors); only bucket-mates are scored. At 100 TB the
+    bucket join replaces the full cross product; recall is tuned by
+    n_planes / n_tables.
+
+An IVF variant (k-means coarse quantizer via pyspark.ml, probe nearest
+cells) is the next rung; LSH covers the sandbox scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    (query_id, rank, neighbor_id, cosine). Vectors are cast to double
+    before any arithmetic so results are engine-portable; ties broken by
+    neighbor_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: (id, bucket). Deterministic planes from seed,
+    shipped as literal arrays (a dim×n_planes dense matrix is tiny)."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(
+            _dot(v, F.array(*[F.lit(float(x)) for x in planes[p]])) >= 0, "1"
+        ).otherwise("0")
+        for p in range(n_planes)
+    ]
+    return emb.select(
+        F.col(id_col).alias("id"), F.concat(*bits).alias("bucket")
+    )
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only pairs sharing a bucket in ANY of
+    ``n_tables`` independent hash tables (the standard recall amplifier —
+    miss probability decays exponentially in n_tables).
+
+    Shuffle shape at scale: the candidate join keys on (table, bucket) —
+    n_tables×N small rows — instead of the N×N cross product of the exact
+    path; duplicate candidate pairs across tables are deduped before the
+    (expensive) exact re-score.
+    """
+    tables = [
+        hyperplane_buckets(
+            emb, dim, n_planes, seed + 7919 * t, id_col, vec_col
+        ).withColumn("tbl", F.lit(t))
+        for t in range(n_tables)
+    ]
+    b = tables[0]
+    for t in tables[1:]:
+        b = b.unionByName(t)
+    a, c = b.alias("a"), b.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.tbl") == F.col("c.tbl"))
+            & (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.id") != F.col("c.id")),
+        )
+        .select(F.col("a.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+        .distinct()
+    )
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    scored = (
+        cand.join(e.withColumnRenamed("id", "query_id")
+                  .withColumnRenamed("v", "qv"), "query_id")
+        .join(e.withColumnRenamed("id", "neighbor_id")
+              .withColumnRenamed("v", "cv"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

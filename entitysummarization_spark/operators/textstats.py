@@ -1,0 +1,93 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side (built-in functions, whole-stage codegen) — no Python in the
+hot path. Column-name and arithmetic contracts match the DuckDB oracles in
+__spark_entry__.py exactly (every computed column aliased, ratios rounded
+to 4 decimals).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import tokens_col
+
+EN_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from"
+).split()
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, avg_token_len)."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def lang_id_en(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic: (doc_id, en_ratio, is_en).
+
+    en_ratio = fraction of tokens in a small English stoplist; is_en at a
+    0.05 threshold. (On real corpora this is the classic cheap LID
+    baseline; a char-n-gram profile model slots in behind the same
+    signature.)
+    """
+    toks = tokens_col(text_col)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.array_intersect(toks, stop))  # distinct-based, cheap
+    # exact token-level count (repeats matter):
+    n_stop_exact = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    ratio = F.round(n_stop_exact / F.greatest(F.size(toks), F.lit(1)), 4)
+    return docs.select(
+        F.col(id_col),
+        ratio.alias("en_ratio"),
+        (ratio >= 0.05).alias("is_en"),
+        n_stop.cast("long").alias("n_distinct_stop"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality: length, lexical diversity, stopword presence.
+
+    score = 0.4·min(n_tokens/100, 1) + 0.4·(distinct/total) + 0.2·min(stop_ratio/0.05, 1)
+    (Gopher/C4-style cheap filters; each term aliased for oracle parity.)
+    """
+    toks = tokens_col(text_col)
+    stop = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    n = F.size(toks).cast("double")
+    nd = F.size(F.array_distinct(toks)).cast("double")
+    ns = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double")
+    len_term = F.least(n / 100.0, F.lit(1.0))
+    div_term = nd / F.greatest(n, F.lit(1.0))
+    stop_term = F.least((ns / F.greatest(n, F.lit(1.0))) / 0.05, F.lit(1.0))
+    return docs.select(
+        F.col(id_col),
+        F.round(len_term, 4).alias("len_term"),
+        F.round(div_term, 4).alias("div_term"),
+        F.round(stop_term, 4).alias("stop_term"),
+        F.round(0.4 * len_term + 0.4 * div_term + 0.2 * stop_term, 4).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Order-insensitive content fingerprint:
+    md5 over the sorted distinct token list — stable under token
+    reordering, cheap to group on for fuzzy-exact dedup."""
+    toks = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+        ).alias("fingerprint"),
+    )
