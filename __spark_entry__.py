@@ -29,7 +29,12 @@ _TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a testdata table, re-splitting for parallelism: the small
+    single-row-group parquet files arrive as ONE partition, which would
+    serialize every downstream CPU-heavy stage (tokenize/shingle/hash) on
+    one core. At real scale file splits provide this for free."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------- entry
@@ -93,8 +98,36 @@ GROUP BY doc_id, tok
 
 
 # ---------------------------------------------------------------- queries
+def _edges_x3(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic derived graph for the graph-operator oracles:
+    directed edge c_custkey → 3·c_custkey when both keys exist (multi-
+    component trees; every node has ≤1 in-edge and ≤1 out-edge, so all
+    float accumulations are single-term → engine-exact)."""
+    c = _load(spark, sf, "customer").select(F.col("c_custkey").cast("long").alias("k"))
+    dst = c.select(F.col("k").alias("dst"))
+    return (
+        c.filter(F.col("k") > 0)
+        .select(F.col("k").alias("src"), (F.col("k") * 3).alias("dst_k"))
+        .join(dst, F.col("dst_k") == F.col("dst"), "inner")
+        .select("src", "dst")
+    )
+
+
+_EDGES_X3_SQL = """
+    SELECT a.c_custkey::BIGINT AS src, b.c_custkey::BIGINT AS dst
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey * 3
+    WHERE a.c_custkey > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from entitysummarization_spark.operators import dedup, similarity, textstats
+    from entitysummarization_spark.operators import (
+        dedup,
+        graph,
+        similarity,
+        textstats,
+        tfidf,
+    )
     from entitysummarization_spark.operators.linking import (
         detect_mentions,
         ngd_relatedness,
@@ -252,6 +285,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only check (xxhash64 not in DuckDB)
         return dedup.simhash64(_load(spark, sf, "documents"))
 
+    def a10_tfidf(spark, sf):
+        return tfidf.tfidf(_load(spark, sf, "documents"))
+
+    def g14_tfidf_cosine(spark, sf):
+        return tfidf.tfidf_cosine_pairs(
+            _load(spark, sf, "documents"), top_k=20, max_df=10**9
+        )
+
+    def f6_valid_names(spark, sf):
+        return tfidf.valid_names(_load(spark, sf, "documents"))
+
+    def g4_connected_components(spark, sf):
+        return graph.connected_components(_edges_x3(spark, sf), n_iter=25)
+
+    def g7_pagerank(spark, sf):
+        return graph.pagerank(_edges_x3(spark, sf), n_iter=10)
+
+    def g5_hits(spark, sf):
+        return graph.hits(_edges_x3(spark, sf), n_iter=10)
+
+    def w3_core_nodes(spark, sf):
+        return graph.top_k_core_nodes(
+            graph.hits(_edges_x3(spark, sf), n_iter=10), k_auth=5, k_hub=5
+        )
+
+    def o3_ancestors(spark, sf):
+        cp = _edges_x3(spark, sf).select(
+            F.col("dst").alias("child"), F.col("src").alias("parent")
+        )
+        return graph.ancestors(cp, max_depth=20)
+
+    def a7_category_scores(spark, sf):
+        cp = _edges_x3(spark, sf).select(
+            F.col("dst").alias("child"), F.col("src").alias("parent")
+        )
+        return graph.category_scores(graph.ancestors(cp, max_depth=20))
+
+    def embed_neardup(spark, sf):
+        emb = _load(spark, sf, "embeddings")
+        from entitysummarization_spark.operators.similarity import _dot, _norm
+
+        e = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        a, b = e.alias("a"), e.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(
+                    _dot(F.col("a.v"), F.col("b.v"))
+                    / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
+                    4,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= 0.4)
+        )
+
+    def per_doc_core(spark, sf):
+        # rows-only: per-doc CC+HITS+closeness+core (iterative NumPy in
+        # applyInPandas); unit-tested against closed forms
+        docs = _load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        m = detect_mentions(spark, docs, [s for s, _ in LEXICON])
+        ent_id = F.abs(F.hash("surface")).cast("long")
+        me = m.select(F.col("id").alias("doc_id"), ent_id.alias("ent"))
+        a, b = me.alias("a"), me.alias("b")
+        edges = (
+            a.join(b, ["doc_id"])
+            .filter(F.col("a.ent") < F.col("b.ent"))
+            .select("doc_id", F.col("a.ent").alias("src"),
+                    F.col("b.ent").alias("dst"))
+            .distinct()
+        )
+        return graph.per_doc_core_entities(edges, k_core=3)
+
+    def textrank(spark, sf):
+        # rows-only: per-doc NumPy power iteration inside applyInPandas
+        return graph.textrank_words(
+            _load(spark, sf, "documents").filter(F.col("doc_id") < 50), top_k=5
+        )
+
+    def ann_lsh_topk(spark, sf):
+        # rows-only: approximate — recall vs brute force gated in pytest
+        emb = _load(spark, sf, "embeddings")
+        return similarity.lsh_bucketed_topk(emb, dim=64, k=5)
+
     def kg_pipeline_summaries(spark, sf):
         # rows-only: full pipeline on the deterministic repos fixture
         from entitysummarization_spark.fixtures import make_fixture
@@ -286,9 +407,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_ngd": g10_ngd,
         "stream_window_counts": stream_window_counts,
         "sessions": sessions,
+        "a10_tfidf": a10_tfidf,
+        "g14_tfidf_cosine": g14_tfidf_cosine,
+        "f6_valid_names": f6_valid_names,
+        "g4_connected_components": g4_connected_components,
+        "g7_pagerank": g7_pagerank,
+        "g5_hits": g5_hits,
+        "w3_core_nodes": w3_core_nodes,
+        "o3_ancestors": o3_ancestors,
+        "a7_category_scores": a7_category_scores,
+        "embed_neardup": embed_neardup,
+        "per_doc_core": per_doc_core,
+        "textrank": textrank,
+        "ann_lsh_topk": ann_lsh_topk,
         "simhash": simhash,
         "kg_pipeline_summaries": kg_pipeline_summaries,
     }
+
+
+def _pagerank_sql(n_iter: int = 10, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (matches graph.pagerank exactly:
+    uniform start, no dangling redistribution, round 6 at the end)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES_X3_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "cnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "ce AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / o.outdeg AS w FROM edges e JOIN "
+        "(SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY 1) o USING (src))",
+        "r0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes CROSS JOIN cnt)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED (SELECT nd.node, (1.0 - {d}) / cnt.n + {d} * "
+            f"coalesce(m.mass, 0) AS rank FROM nodes nd CROSS JOIN cnt "
+            f"LEFT JOIN (SELECT ce.dst AS node, sum(r.rank * ce.w) AS mass "
+            f"FROM ce JOIN r{i-1} r ON r.node = ce.src GROUP BY 1) m "
+            f"ON m.node = nd.node)"
+        )
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, round(rank, 6) AS rank FROM r{n_iter}")
+
+
+def _hits_ctes(n_iter: int = 10) -> str:
+    """CTE chain for fixed-iteration HITS with per-step L2 normalization
+    (matches graph.hits, weight 1.0); final relation is ``final``."""
+    # AS MATERIALIZED: DuckDB inlines CTEs by default; each iteration
+    # references the previous twice, so inlining is EXPONENTIAL in n_iter
+    # (file-handle exhaustion on the base parquet scan). Materialization
+    # makes the chain linear — the same thing Spark's localCheckpoint does.
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGES_X3_SQL})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes += [
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS node, sum(1.0 * h.hub) AS raw "
+            f"FROM edges e JOIN h{i-1} h ON h.node = e.src GROUP BY 1)",
+            f"a{i} AS MATERIALIZED (SELECT node, raw / (SELECT sqrt(sum(raw * raw)) FROM ar{i})"
+            f" AS auth FROM ar{i})",
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS node, sum(1.0 * a.auth) AS raw "
+            f"FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY 1)",
+            f"h{i} AS MATERIALIZED (SELECT node, raw / (SELECT sqrt(sum(raw * raw)) FROM hr{i})"
+            f" AS hub FROM hr{i})",
+        ]
+    ctes.append(
+        f"final AS (SELECT nd.node, round(coalesce(h.hub, 0), 6) AS hub, "
+        f"round(coalesce(a.auth, 0), 6) AS auth FROM nodes nd "
+        f"LEFT JOIN h{n_iter} h ON h.node = nd.node "
+        f"LEFT JOIN a{n_iter} a ON a.node = nd.node)"
+    )
+    return "WITH " + ",\n".join(ctes)
+
+
+_TFIDF_CORE = """
+    toks AS (SELECT doc_id, unnest({toks}) AS word FROM documents),
+    tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+    dfr AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS d FROM documents)
+"""
 
 
 # ---------------------------------------------------------------- oracles
@@ -509,6 +708,111 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(max(ts))::BIGINT AS end_us
             FROM s GROUP BY 1, 2
         """,
-        # simhash, kg_pipeline_summaries: rows-only (xxhash64 / iterative
-        # sampler are not SQL-expressible) — intentionally omitted.
+        "a10_tfidf": f"""
+            WITH {_TFIDF_CORE.format(toks=toks)}
+            SELECT tf.doc_id, tf.word, tf.tf, dfr.df,
+                   round(tf.tf * ln(nn.d / dfr.df), 4) AS tfidf
+            FROM tf JOIN dfr USING (word) CROSS JOIN nn
+        """,
+        "g14_tfidf_cosine": f"""
+            WITH {_TFIDF_CORE.format(toks=toks)},
+            v AS (SELECT tf.doc_id, tf.word,
+                         round(tf.tf * ln(nn.d / dfr.df), 10) AS w
+                  FROM tf JOIN dfr USING (word) CROSS JOIN nn),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM v GROUP BY 1),
+            dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            sum(a.w * b.w) AS dot
+                     FROM v a JOIN v b ON a.word = b.word AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+            SELECT id_a, id_b, cosine, rnk FROM (
+              SELECT id_a, id_b,
+                     round(dot / (na.norm * nb.norm), 4) AS cosine,
+                     row_number() OVER (
+                         ORDER BY round(dot / (na.norm * nb.norm), 4) DESC,
+                                  id_a, id_b) AS rnk
+              FROM dots JOIN norms na ON na.doc_id = id_a
+                        JOIN norms nb ON nb.doc_id = id_b
+            ) WHERE rnk <= 20
+        """,
+        "f6_valid_names": f"""
+            WITH t AS (SELECT DISTINCT doc_id, word FROM
+                       (SELECT doc_id, unnest({toks}) AS word FROM documents))
+            SELECT word, count(*)::BIGINT AS n_docs FROM t
+            WHERE len(word) >= 3
+              AND NOT regexp_matches(word, '^[''!&]')
+              AND NOT regexp_matches(word, '[?%+]')
+              AND NOT regexp_matches(word, '^[0-9]+$')
+            GROUP BY 1
+        """,
+        "g4_connected_components": f"""
+            WITH RECURSIVE edges AS ({_EDGES_X3_SQL}),
+            sym AS (SELECT src, dst FROM edges
+                    UNION SELECT dst, src FROM edges),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach(root, nd) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT r.root, s.dst FROM reach r JOIN sym s ON s.src = r.nd
+            )
+            SELECT root AS node, min(nd)::BIGINT AS component
+            FROM reach GROUP BY root
+        """,
+        "g7_pagerank": _pagerank_sql(10),
+        "g5_hits": _hits_ctes(10) + "\nSELECT node, hub, auth FROM final",
+        "w3_core_nodes": _hits_ctes(10) + """
+            SELECT node, hub, auth FROM (
+              SELECT *, row_number() OVER (ORDER BY auth DESC, node) AS ra,
+                        row_number() OVER (ORDER BY hub DESC, node) AS rh
+              FROM final
+            ) WHERE ra <= 5 OR rh <= 5
+        """,
+        "o3_ancestors": f"""
+            WITH RECURSIVE cp AS (
+              SELECT dst AS child, src AS parent FROM ({_EDGES_X3_SQL})),
+            anc(node, ancestor, depth) AS (
+              SELECT child, parent, 1 FROM cp
+              UNION
+              SELECT a.node, cp.parent, a.depth + 1
+              FROM anc a JOIN cp ON cp.child = a.ancestor
+              WHERE a.node <> cp.parent
+            )
+            SELECT node, ancestor, min(depth)::INT AS depth
+            FROM anc GROUP BY 1, 2
+        """,
+        "a7_category_scores": f"""
+            WITH RECURSIVE cp AS (
+              SELECT dst AS child, src AS parent FROM ({_EDGES_X3_SQL})),
+            anc(node, ancestor, depth) AS (
+              SELECT child, parent, 1 FROM cp
+              UNION
+              SELECT a.node, cp.parent, a.depth + 1
+              FROM anc a JOIN cp ON cp.child = a.ancestor
+              WHERE a.node <> cp.parent
+            ),
+            mind AS (SELECT node, ancestor, min(depth) AS depth
+                     FROM anc GROUP BY 1, 2),
+            agg AS (SELECT ancestor AS category, count(*)::BIGINT AS coverage,
+                           round(sum(pow(3.0, -depth)), 6) AS score
+                    FROM mind GROUP BY 1),
+            b AS (SELECT category, coverage, score,
+                         round(0.6 * score + 0.4 * coverage, 6) AS final
+                  FROM agg)
+            SELECT category, coverage, score, final, rnk FROM (
+              SELECT *, row_number() OVER (ORDER BY final DESC, category) AS rnk
+              FROM b
+            ) WHERE rnk <= 30
+        """,
+        "embed_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         round(list_dot_product(a.v, b.v)
+                               / (sqrt(list_dot_product(a.v, a.v))
+                                  * sqrt(list_dot_product(b.v, b.v))), 4)
+                             AS cosine
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
+        """,
+        # simhash, textrank, ann_lsh_topk, kg_pipeline_summaries: rows-only
+        # (xxhash64 / per-doc NumPy power iteration / approximate LSH /
+        # iterative sampler are not SQL-expressible) — intentionally omitted.
     }

@@ -1,0 +1,302 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries + KG-pipeline scaling throughput.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": ..., "triples_per_sec": ..., "scaling": {...}}
+
+Headline queries run at SPARK_GRAFT_SF_DIR on local[SPARK_GRAFT_CPUS];
+each is timed min-of-2 (this VM shows multi-second noise spikes under
+full load, so single-shot timings are unreliable).
+
+The scaling section evidences the north rule's two-cluster-size
+criterion inside one box: the SAME flagship job — source-file triple
+extraction (pandas-UDF AC + regex) → salted canonicalization → corpus
+aggregation over a deterministic synthetic repos table — runs at
+local[4] and local[16]; efficiency = thr_16 / (4 × thr_4). A pure-CPU
+multiprocessing microbenchmark measures the hardware's own 4→16 scaling
+ceiling (turbo/thermal clock droop), reported alongside for context.
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores       (default 32)
+  SPARK_GRAFT_SCALING  "0" skips the scaling section
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+
+N_FIXTURE_FILES = 4000      # unique synthetic source files
+N_ENTITIES = 800            # ontology-vocabulary entities
+NOISE_LINES = 135           # no-triple code lines per file → ~4.5 KB files
+REPLICATE = 25              # ×4000 → 100k files ≈ 90 s single-core extraction
+SCALING_TRIALS = 4          # per worker invocation; see scaling_run rounds
+SCALING_CORES = (4, 16)     # N and 4N
+FIXTURE_PATH = (
+    f"/tmp/spark_graft_bench/repos_{N_FIXTURE_FILES}x{N_ENTITIES}"
+    f"n{NOISE_LINES}.parquet"
+)
+
+# headline subset of __spark_entry__.queries() — one per operator family
+HEADLINE = [
+    "a1_word_freq",      # tokenize + explode + groupBy (A1)
+    "q1_pricing",        # scan-heavy agg (TPC-H Q1 analog)
+    "w6_topk_parts",     # window top-k (W6)
+    "j1_dict_lookup",    # broadcast dictionary join (J1)
+    "kg_mentions",       # batched AC mention-detect UDF (G1)
+    "g10_ngd",           # NGD relatedness self-join (G10)
+    "minhash_lsh",       # MinHash+LSH near-dup
+    "ann_cosine_topk",   # brute-force cosine top-k
+    "sessions",          # sessionization window
+    "token_stats",       # text-quality stats
+]
+
+
+def make_spark(master: str, shuffle_partitions: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(master)
+        .appName(f"bench-{master}")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        # shuffle/spill on tmpfs: the sandbox's /tmp is a virtio disk whose
+        # seek contention INVERTS scaling (16 threads slower than 4); on a
+        # real cluster every node brings its own shuffle disks
+        .config("spark.local.dir", "/dev/shm/spark-local")
+        # shuffle files live in RAM here — lz4 would only burn the CPU the
+        # scaling measurement is trying to observe (keep it ON for disks)
+        .config("spark.shuffle.compress", "false")
+        .config("spark.shuffle.spill.compress", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _noop(df) -> None:
+    """Execute fully without collecting rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    out: dict[str, float] = {}
+    for name in HEADLINE:
+        best = None
+        for _ in range(2):
+            df = qs[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            _noop(df)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        out[name] = round(best, 3)
+    return out
+
+
+# ---------------------------------------------------------- scaling section
+def _repos_df(spark, replicate: int, n_parts: int):
+    """Replicated fixture repos table with distinct per-copy paths (so the
+    canonicalization key space scales with the data)."""
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(FIXTURE_PATH)
+    if replicate > 1:
+        df = df.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).withColumn("path", F.concat_ws("#", "path", "_r")).drop("_r")
+    return df.repartition(n_parts).persist()
+
+
+def _extract_job(spark, repos, vocab_pdf):
+    """The timed flagship chain: extract → canonicalize → corpus agg."""
+    import pyspark.sql.functions as F
+
+    from entitysummarization_spark.operators.canonicalize import canonical_triples
+    from entitysummarization_spark.operators.extraction import extract_triples
+
+    triples = extract_triples(spark, repos, vocab_pdf)
+    canon = canonical_triples(triples)
+    return canon.agg(
+        F.count("*").alias("n_facts"), F.sum("freq").alias("n_triples")
+    )
+
+
+def scaling_worker(n: int) -> None:
+    """One parallelism level, in a FRESH process/JVM. (A second
+    SparkSession in the same JVM runs the identical job up to 14× slower —
+    measured; accumulated driver state poisons cross-session timings.)
+    Prints one JSON line with all trial times."""
+    from entitysummarization_spark.operators.extraction import extract_triples
+
+    fx = ensure_fixture()
+    spark = make_spark(f"local[{n}]", n)
+    try:
+        warm = _repos_df(spark, 4, n * 4)   # big enough to drive C2 JIT
+        warm.count()
+        _noop(_extract_job(spark, warm, fx.vocab))
+        _noop(_extract_job(spark, warm, fx.vocab))
+        warm.unpersist()
+
+        # n*4 partitions: enough waves to balance, few enough that per-task
+        # dispatch/Arrow overhead stays <10% of the 4N-leg runtime
+        repos = _repos_df(spark, REPLICATE, n * 4)
+        n_files = repos.count()
+        trials, map_trials = [], []
+        for trial in range(SCALING_TRIALS):
+            t0 = time.perf_counter()
+            row = _extract_job(spark, repos, fx.vocab).collect()[0]
+            dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            extract_triples(spark, repos, fx.vocab).count()
+            dt_map = time.perf_counter() - t0
+            print(f"[scaling n={n}] trial {trial}: chain {dt:.1f}s "
+                  f"map {dt_map:.1f}s", file=sys.stderr)
+            trials.append(round(dt, 2))
+            map_trials.append(round(dt_map, 2))
+        print(json.dumps({
+            "n": n, "n_files": n_files,
+            "n_triples": int(row["n_triples"]), "trials": trials,
+            "map_trials": map_trials,
+        }))
+    finally:
+        spark.stop()
+
+
+def scaling_run(hw_ceiling: float, rounds: int = 2) -> dict:
+    """Alternating subprocess rounds (N, 4N, N, 4N), min over all trials
+    per size. This VM's available throughput swings up to 4-5× on
+    multi-minute timescales (measured on identical back-to-back jobs), so
+    single-shot timings are meaningless; the minimum over several short
+    trials spread across time windows estimates the uncontended cost."""
+    import subprocess
+
+    trials: dict[int, list[float]] = {n: [] for n in SCALING_CORES}
+    map_trials: dict[int, list[float]] = {n: [] for n in SCALING_CORES}
+    meta = {}
+    for _ in range(rounds):
+        for n in SCALING_CORES:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--scaling-worker", str(n)],
+                capture_output=True, text=True, check=True,
+            )
+            res = json.loads(out.stdout.strip().splitlines()[-1])
+            trials[n] += res["trials"]
+            map_trials[n] += res["map_trials"]
+            meta = res
+    n4, n16 = SCALING_CORES
+    thr = {n: meta["n_triples"] / min(trials[n]) for n in SCALING_CORES}
+    map_thr = {n: meta["n_triples"] / min(map_trials[n]) for n in SCALING_CORES}
+    return {
+        "job": "extract+canonicalize+corpus_agg",
+        "n_files": meta["n_files"],
+        "n_triples": meta["n_triples"],
+        "trials_sec": {str(n): trials[n] for n in SCALING_CORES},
+        "map_trials_sec": {str(n): map_trials[n] for n in SCALING_CORES},
+        f"triples_per_sec_local{n4}": round(thr[n4], 1),
+        f"triples_per_sec_local{n16}": round(thr[n16], 1),
+        "efficiency": round(thr[n16] / (4.0 * thr[n4]), 3),
+        "map_phase_efficiency": round(map_thr[n16] / (4.0 * map_thr[n4]), 3),
+        "hw_ceiling_4x": hw_ceiling,
+    }
+
+
+def _burn(_):
+    s = 0
+    for i in range(2 * 10**6):
+        s += i * i
+    return s
+
+
+def _hw_ceiling() -> float:
+    """Pure-CPU 4→16-worker scaling of this VM (no Spark): the turbo/clock
+    ceiling any 4× strong-scaling measurement on this box is subject to."""
+    thr = {}
+    for nw in SCALING_CORES:
+        ntask = nw * 16
+        with mp.Pool(nw) as p:
+            p.map(_burn, range(nw * 2))
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                p.map(_burn, range(ntask))
+                w = time.perf_counter() - t0
+                best = w if best is None or w < best else best
+        thr[nw] = ntask / best
+    n4, n16 = SCALING_CORES
+    return round(thr[n16] / (4.0 * thr[n4]), 3)
+
+
+def ensure_fixture() -> "object":
+    """Generate the deterministic repos fixture once; cache as parquet."""
+    from entitysummarization_spark.fixtures import make_fixture
+
+    fx = make_fixture(n_files=N_FIXTURE_FILES, seed=42,
+                      n_entities=N_ENTITIES, noise_lines=NOISE_LINES)
+    if not os.path.exists(FIXTURE_PATH):
+        os.makedirs("/tmp/spark_graft_bench", exist_ok=True)
+        fx.repos.to_parquet(FIXTURE_PATH, index=False)
+    return fx
+
+
+def main() -> None:
+    t_all = time.perf_counter()
+    fx = ensure_fixture()
+    # hardware ceiling BEFORE any JVM exists (a just-stopped Spark session
+    # skews the 4-worker leg and can even read superlinear)
+    hw_ceiling = _hw_ceiling() if DO_SCALING else None
+
+    spark = make_spark(f"local[{CPUS}]", CPUS)
+    try:
+        queries = run_headline(spark)
+        # flagship extraction throughput at the driver SF (unreplicated)
+        repos = _repos_df(spark, 1, CPUS * 2)
+        repos.count()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            row = _extract_job(spark, repos, fx.vocab).collect()[0]
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        queries["kg_extract_canon"] = round(best, 3)
+        triples_per_sec = round(int(row["n_triples"]) / best, 1)
+    finally:
+        spark.stop()
+
+    scaling = scaling_run(hw_ceiling) if DO_SCALING else None
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "triples_per_sec": triples_per_sec,
+        "wall_total_sec": round(time.perf_counter() - t_all, 1),
+    }
+    if scaling is not None:
+        result["scaling"] = scaling
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) == 3 and sys.argv[1] == "--scaling-worker":
+        scaling_worker(int(sys.argv[2]))
+    else:
+        main()

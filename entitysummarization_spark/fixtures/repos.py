@@ -102,7 +102,17 @@ def _make_vocab(rng: np.random.RandomState, n_entities: int):
     return names, vocab, cats
 
 
-def make_fixture(n_files: int = 200, seed: int = 42, n_entities: int = 120) -> RepoFixture:
+def make_fixture(
+    n_files: int = 200,
+    seed: int = 42,
+    n_entities: int = 120,
+    noise_lines: int = 0,
+) -> RepoFixture:
+    """``noise_lines`` appends that many deterministic no-triple code lines
+    per file (assignments, dotless calls, non-lexicon comments). Real
+    source files are KBs where most lines yield no facts — the default
+    tiny files overstate shuffle relative to parse compute; benches pass
+    ~135 for ~4.5 KB files. Golden triples are unaffected."""
     rng = np.random.RandomState(seed)
     names, vocab, cats = _make_vocab(rng, n_entities)
     head = names[0]  # skew head entity — appears in ~30% of files
@@ -156,6 +166,16 @@ def make_fixture(n_files: int = 200, seed: int = 42, n_entities: int = 120) -> R
         # noise that must NOT produce triples
         lines.append("x = 42")
         lines.append(f"# checksum {rng.randint(10**6)}")
+        for nz in range(noise_lines):
+            k = (fi * 31 + nz) % 4
+            if k == 0:
+                lines.append(f"    acc_{nz} = acc_{nz} + offset * {nz} - 7")
+            elif k == 1:
+                lines.append(f"    result = combine(left_{nz}, right_{nz}, mode)")
+            elif k == 2:
+                lines.append(f"# step {nz}: accumulate partial totals into the buffer")
+            else:
+                lines.append(f"    if state_{nz} > threshold: state_{nz} -= delta")
 
         rows.append((repo, path, commit, lang, "\n".join(lines) + "\n"))
 

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .oracle import rng_for
+from .oracle import alpha_from_neighbors, rng_for
 
 STATE_SCHEMA = "doc_id long, words array<long>, zs array<long>"
 
@@ -46,6 +46,7 @@ class GibbsConfig:
     beta: float = 0.01
     base_seed: int = 7
     n_partitions: int = 8
+    epsilon: float = 0.9     # M3 neighbor-smoothing mix (only with doc_sr)
 
     @property
     def alpha_eff(self) -> float:
@@ -101,9 +102,17 @@ class DistributedGibbs:
         obj_pred: DataFrame,
         lam_df: DataFrame | None,
         cfg: GibbsConfig,
+        doc_sr: DataFrame | None = None,
     ):
+        """``doc_sr`` (doc_a, doc_b) enables the M3 option: per-doc α
+        smoothed over the SR-graph neighborhood (EntLDA.computeAlpha,
+        src/cs/uga/edu/enttopicmodel/EntLDA.java:319-338) — pass the edge
+        list BOTH directions (symmetrize upstream). α refreshes from the
+        synchronized counts between sweeps; within a sweep it is frozen,
+        which is what keeps multi-partition runs well-defined."""
         self.spark = spark
         self.cfg = cfg
+        self.doc_sr = doc_sr
         self.cand = _collect_cand(obj_pred)
         self.lam = _collect_lam(lam_df, cfg.n_preds, cfg.n_words)
         self.sum_lam_beta = self.lam.sum(axis=1) * cfg.beta
@@ -163,6 +172,39 @@ class DistributedGibbs:
         self.nwp = nwp
         self.np_ = nwp.sum(axis=1)
 
+    # ---- M3 neighbor payload (per-doc α smoothing inputs) ----
+    def _with_nbr_payload(self, state: DataFrame) -> DataFrame:
+        """Attach each doc's sorted SR-neighbor count summaries
+        (nbr, nd, [(p, n), ...]) so the sweep UDF can rebuild the exact
+        neighbor θ and call alpha_from_neighbors — identical input order
+        to the oracle, hence bit-identical α."""
+        npd = (
+            state.select("doc_id", F.explode("zs").alias("p"))
+            .groupBy("doc_id", "p")
+            .agg(F.count("*").alias("n"))
+        )
+        pn = npd.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list(F.struct("p", "n"))).alias("pn")
+        )
+        payload = pn.join(state.select("doc_id", F.size("words").alias("nd")),
+                          "doc_id")
+        nbrs = (
+            self.doc_sr.select(
+                F.col("doc_a").cast("long").alias("doc_a"),
+                F.col("doc_b").cast("long").alias("doc_id"),
+            )
+            .join(payload, "doc_id")
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("doc_id").alias("nbr"), "nd", "pn")
+                    )
+                ).alias("nbrs")
+            )
+        )
+        return state.join(nbrs, "doc_id", "left")
+
     # ---- one sweep ----
     def sweep(self) -> None:
         cfg = self.cfg
@@ -171,6 +213,8 @@ class DistributedGibbs:
             (self.nwp, self.np_, self.cand, self.lam, self.sum_lam_beta)
         )
         P, alpha, beta, seed = cfg.n_preds, cfg.alpha_eff, cfg.beta, cfg.base_seed
+        eps = cfg.epsilon
+        use_m3 = self.doc_sr is not None
 
         def sweep_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             nwp, np_, cand, lam, slb = bc.value
@@ -178,11 +222,33 @@ class DistributedGibbs:
             np_ = np_.copy()
             for b in batches:
                 zs_col = []
-                for d, ws, zs in zip(b["doc_id"], b["words"], b["zs"]):
+                nbr_col = b["nbrs"] if use_m3 else [None] * len(b)
+                for d, ws, zs, nbrs in zip(
+                    b["doc_id"], b["words"], b["zs"], nbr_col
+                ):
                     ws = np.asarray(ws, dtype=np.int64)
                     zs = np.asarray(zs, dtype=np.int64).copy()
                     nd = np.bincount(zs, minlength=P).astype(np.int64)
                     ndoc = len(ws)
+                    if use_m3:
+                        tup = []
+                        entries = (
+                            nbrs if isinstance(nbrs, (list, np.ndarray)) else []
+                        )
+                        for e in entries:
+                            pn = e["pn"]
+                            if pn is None or len(pn) == 0:
+                                pn = []
+                            tup.append((
+                                int(e["nbr"]),
+                                int(e["nd"]),
+                                np.asarray([x["p"] for x in pn], dtype=np.int64),
+                                np.asarray([x["n"] for x in pn], dtype=np.int64),
+                            ))
+                        av = alpha_from_neighbors(tup, P, alpha, eps)
+                        a_sum = float(av.sum())
+                    else:
+                        av, a_sum = None, P * alpha
                     rng = rng_for(seed, sweep_idx, int(d))
                     for i in range(ndoc):
                         w, p_old = int(ws[i]), int(zs[i])
@@ -190,8 +256,9 @@ class DistributedGibbs:
                         nwp[p_old, w] -= 1
                         np_[p_old] -= 1
                         c = cand[w]
+                        a_c = av[c] if use_m3 else alpha
                         probs = (
-                            (nd[c] + alpha) / (ndoc - 1 + P * alpha)
+                            (nd[c] + a_c) / (ndoc - 1 + a_sum)
                             * (nwp[c, w] + lam[c, w] * beta)
                             / (np_[c] + slb[c])
                         )
@@ -210,8 +277,16 @@ class DistributedGibbs:
                 )
 
         old = self.state
+        # the payload join re-keys state to spark.sql.shuffle.partitions —
+        # restore the sampler's partitioning so the AD-LDA partition count
+        # (and with n_partitions=1, oracle bit-parity) is preserved
+        src = (
+            self._with_nbr_payload(old).repartition(cfg.n_partitions, "doc_id")
+            if use_m3
+            else old
+        )
         # partitioning by doc_id is already established; mapInPandas preserves it
-        new_state = old.sortWithinPartitions("doc_id").mapInPandas(
+        new_state = src.sortWithinPartitions("doc_id").mapInPandas(
             sweep_fn, STATE_SCHEMA
         ).persist()
         new_state.count()

@@ -38,6 +38,42 @@ def doc_token_words(word_ids: np.ndarray, freqs: np.ndarray) -> np.ndarray:
     return np.repeat(word_ids[order], freqs[order]).astype(np.int64)
 
 
+def alpha_from_neighbors(
+    nbrs: list[tuple[int, int, np.ndarray, np.ndarray]],
+    P: int,
+    alpha0: float,
+    epsilon: float,
+) -> np.ndarray:
+    """M3 SR-graph-smoothed per-doc α (EntLDA.computeAlpha,
+    src/cs/uga/edu/enttopicmodel/EntLDA.java:319-338):
+
+        α_d[p] = (1−ε)·α0 + ε·(P/|nbrs|)·Σ_nbr θ_nbr[p]
+        (no neighbors → (1−ε)·α0)
+
+    with θ_nbr[p] = round((npd+α0)/(nd+P·α0), 4) — the base-α θ of the
+    neighbor, 4-decimal-rounded like every reference posterior
+    (EntSumModel.java:553). The reference's `T / neighbors.length` is Java
+    INT division (a quirk that zeroes the smoothing for large
+    neighborhoods); we implement the intended float division (SURVEY §7).
+
+    ``nbrs`` must be sorted by neighbor id and each entry is
+    (nbr_id, nd, pred_ids, counts); both the NumPy oracle and the
+    distributed sweep call THIS function with identically-ordered input,
+    so the two implementations agree bit-for-bit.
+    """
+    if not nbrs:
+        return np.full(P, (1.0 - epsilon) * alpha0)
+    sum_prob = np.zeros(P)
+    for _nbr_id, nd, ps, ns in nbrs:
+        theta_nbr = np.full(P, alpha0 / (nd + P * alpha0))
+        if len(ps):
+            theta_nbr[np.asarray(ps, dtype=np.int64)] = (
+                np.asarray(ns, dtype=np.float64) + alpha0
+            ) / (nd + P * alpha0)
+        sum_prob += np.round(theta_nbr, 4)
+    return (1.0 - epsilon) * alpha0 + epsilon * (P / len(nbrs)) * sum_prob
+
+
 @dataclass
 class OracleState:
     doc_ids: list[int]
@@ -61,11 +97,19 @@ class GibbsOracle:
         alpha: float | None = None,
         beta: float = 0.01,
         base_seed: int = 7,
+        doc_nbrs: dict[int, list[int]] | None = None,
+        epsilon: float = 0.9,
     ):
         self.P, self.W = n_preds, n_words
         self.alpha = alpha if alpha is not None else 50.0 / n_preds
         self.beta = beta
         self.base_seed = base_seed
+        # M3 option: SR-graph neighborhood per doc (sorted); None → plain M1
+        self.doc_nbrs = (
+            {d: sorted(v) for d, v in doc_nbrs.items()} if doc_nbrs else None
+        )
+        self.epsilon = epsilon
+        self.alpha_vec: dict[int, np.ndarray] = {}
         self.lam = lam if lam is not None else np.ones((n_preds, n_words))
         self.sum_lam_beta = self.lam.sum(axis=1) * beta  # intended A5 row sum
         self.cand = cand
@@ -92,13 +136,40 @@ class GibbsOracle:
             npd[d] = nd
         self.state = OracleState(doc_ids, tokens, z, nwp, np_, npd)
 
+    def refresh_alpha(self) -> None:
+        """M3: recompute per-doc α from the current synchronized counts
+        (between sweeps, like EntLDA's computeAlpha between iterations)."""
+        if self.doc_nbrs is None:
+            return
+        s = self.state
+        a = self.alpha
+        for d in s.doc_ids:
+            nbr_ids = self.doc_nbrs.get(d, [])
+            nbrs = []
+            for nb in nbr_ids:
+                if nb not in s.npd:
+                    continue
+                dense = s.npd[nb]
+                ps = np.nonzero(dense)[0]
+                nbrs.append((nb, len(s.tokens[nb]), ps, dense[ps]))
+            self.alpha_vec[d] = alpha_from_neighbors(nbrs, self.P, a, self.epsilon)
+
     def sweep(self, sweep_idx: int) -> None:
         s = self.state
         P, a, b = self.P, self.alpha, self.beta
+        if self.doc_nbrs is not None:
+            self.refresh_alpha()
         for d in s.doc_ids:
             rng = rng_for(self.base_seed, sweep_idx, d)
             ws, zs, nd = s.tokens[d], s.z[d], s.npd[d]
             ndoc = len(ws)
+            if self.doc_nbrs is not None:
+                av = self.alpha_vec[d]
+                a_of = lambda c: av[c]          # noqa: E731
+                a_sum = float(av.sum())
+            else:
+                a_of = lambda c: a              # noqa: E731
+                a_sum = P * a
             for i in range(ndoc):
                 w, p_old = int(ws[i]), int(zs[i])
                 nd[p_old] -= 1
@@ -106,7 +177,7 @@ class GibbsOracle:
                 s.np_[p_old] -= 1
                 c = self.cand[w]
                 probs = (
-                    (nd[c] + a) / (ndoc - 1 + P * a)
+                    (nd[c] + a_of(c)) / (ndoc - 1 + a_sum)
                     * (s.nwp[c, w] + self.lam[c, w] * b)
                     / (s.np_[c] + self.sum_lam_beta[c])
                 )

@@ -35,13 +35,26 @@ def salted_count(
     return partial.groupBy(*keys).agg(F.sum("_pc").cast("long").alias(count_col))
 
 
-def canonical_triples(triples: DataFrame) -> DataFrame:
+def canonical_triples(triples: DataFrame, use_salt: bool = False) -> DataFrame:
     """Distinct (subj, pred, obj) with occurrence counts across provenance.
 
     The A1 'fact bag' aggregation (EntityProc.java:846-886) — one triple row
     per canonical fact, freq = #files asserting it.
+
+    Skew note: for an ALGEBRAIC agg like count, Spark's hash aggregate
+    already does a map-side partial combine, so a head key (`United_States`
+    / `java.util.List`-class objects) arrives at its reducer as ≤1 partial
+    row per map task — the same bound explicit salting would give, with
+    ONE shuffle instead of two. ``use_salt=True`` switches to the two-phase
+    `salted_count` plan, which is the right shape when the payload agg is
+    holistic (collect_set of provenance, exact distinct counts) and
+    map-side combine can't shrink the head key.
     """
-    return salted_count(triples, ["subj", "pred", "obj"], count_col="freq")
+    if use_salt:
+        return salted_count(triples, ["subj", "pred", "obj"], count_col="freq")
+    return triples.groupBy("subj", "pred", "obj").agg(
+        F.count("*").cast("long").alias("freq")
+    )
 
 
 def dense_ids(df: DataFrame, col: str, id_col: str) -> DataFrame:

@@ -105,6 +105,45 @@ def build_corpus(
                   facts=facts, obj_pred=obj_pred, lam=lam)
 
 
+def constrain_by_types(
+    obj_pred: DataFrame,     # word_id, pred_ids array
+    obj_types: DataFrame,    # word_id, type_id
+    pred_range: DataFrame,   # pred_id, type_id (rdfs:range analog)
+) -> DataFrame:
+    """M2 domain/range gating (src/esum/EntSum.java:174-212, the typed
+    sampler of SURVEY §2.8): a predicate stays a candidate for an object
+    only if range(pred) ∩ types(obj) ≠ ∅. Pre-intersecting the J3/J4
+    constraint maps keeps the sampler itself unchanged — the gate is a
+    semi-join at corpus-build time, not a per-token check.
+
+    Objects with no type rows keep their observed candidates (the
+    reference falls back to the unconstrained candidate list when type
+    info is missing). Candidate lists never become empty: if the
+    intersection would be empty the observed list is kept.
+    """
+    exploded = obj_pred.select(
+        "word_id", F.explode("pred_ids").alias("pred_id")
+    )
+    typed_ok = (
+        exploded.join(obj_types, "word_id")
+        .join(pred_range, ["pred_id", "type_id"])
+        .select("word_id", "pred_id")
+        .distinct()
+        .groupBy("word_id")
+        .agg(F.sort_array(F.collect_set("pred_id")).alias("typed_pred_ids"))
+    )
+    return (
+        obj_pred.join(typed_ok, "word_id", "left")
+        .select(
+            "word_id",
+            F.when(
+                F.size(F.coalesce("typed_pred_ids", F.array())) > 0,
+                F.col("typed_pred_ids"),
+            ).otherwise(F.col("pred_ids")).alias("pred_ids"),
+        )
+    )
+
+
 def corpus_stats(corpus: DataFrame) -> DataFrame:
     """A2: D, W, N (ModelParameters.java:72-104)."""
     return corpus.agg(

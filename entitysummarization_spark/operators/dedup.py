@@ -47,16 +47,26 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
-    toks = tokens_col(text_col)
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Tokenization happens ONCE per row in a projection *below* the
+    Generate: inlining `tokens_col()` into the per-position slice lambda
+    would re-split the document once per shingle position (higher-order
+    functions are interpreted — no codegen subexpression elimination),
+    a ~tokens× blowup verified in the physical plan.
+    """
+    toked = docs.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("_toks")
+    )
+    t = F.col("_toks")
     # sequence(0, k) flips to descending when k < 0 → guard short docs
     idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        F.size(t) >= n, F.sequence(F.lit(0), F.size(t) - n)
     ).otherwise(F.array().cast("array<int>"))
     sh = F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
     )
-    return docs.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    return toked.select("id", F.explode(sh).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -173,6 +183,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # the bands subtree feeds BOTH sides of the self-join — persist so the
+    # shingle+signature pipeline (the expensive part) runs once, not twice
+    bands = bands.persist()
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(

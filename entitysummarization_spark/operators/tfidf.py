@@ -1,0 +1,120 @@
+"""TF-IDF and TF-IDF-cosine similarity (A10 / G14 of SURVEY §2).
+
+The reference computes term frequency over category names plus a
+Lucene-backed doc-frequency idf (PatternMatchingMachine.java:4499-4522,
+4478-4498) and cosine similarity of the resulting sparse vectors
+(:4363-4396). Spark-first: one groupBy for tf, one for df, a broadcast of
+the (tiny) df dim, and a shared-word self-join for pairwise cosine — the
+sparse-vector dot product IS the join+sum, no vectors materialized.
+
+Scale: df table is vocabulary-sized (broadcast); the cosine pair join is
+bounded by shared words (cap ubiquitous words with max_df, the F12
+link-cap discipline) — never an all-pairs cross product.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from .dedup import tokens_col
+
+
+def tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, word, tf, df, tfidf): tf = in-doc count, idf = ln(D/df).
+
+    Natural log, rounded only at the end; D = total docs in input.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    return (
+        tf.join(F.broadcast(df), "word")
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+                    round_to).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    top_k: int = 20,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-k most-similar doc pairs by cosine over TF-IDF vectors (G14).
+
+    dot(a,b) = Σ_shared tfidf_a·tfidf_b via self-join on word; norms from
+    a per-doc aggregate. Words with df > max_df are dropped from the PAIR
+    join only (they dominate cost, contribute least signal) — norms keep
+    every word so the cosine stays exact w.r.t. the capped vocabulary...
+    both sides use the capped vectors, keeping the metric symmetric and
+    oracle-reproducible. Ties: (cosine desc, id_a, id_b).
+    """
+    v = tfidf(docs, id_col, text_col, round_to=10)
+    capped = v.filter(F.col("df") <= max_df).select("doc_id", "word", "tfidf")
+    capped = capped.persist()
+    norms = capped.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tfidf") ** 2)).alias("norm")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    dots = (
+        a.join(b, (F.col("a.word") == F.col("b.word"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.sum(F.col("a.tfidf") * F.col("b.tfidf")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"))
+    cos = (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")),
+                    round_to).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+    return (
+        cos.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("id_a", "id_b", "cosine", "rnk")
+    )
+
+
+def valid_names(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """F6 name-validity filter over the distinct token vocabulary:
+    length ≥ 3, no leading ' ! &, no ? % +, not purely numeric
+    (DictionaryGenerator.java:1255-1292). Returns (word, n_docs)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("word")
+    ).distinct()
+    kept = toks.filter(
+        (F.length("word") >= 3)
+        & ~F.col("word").rlike(r"^['!&]")
+        & ~F.col("word").rlike(r"[?%+]")
+        & ~F.col("word").rlike(r"^[0-9]+$")
+    )
+    return kept.groupBy("word").agg(F.count("*").cast("long").alias("n_docs"))

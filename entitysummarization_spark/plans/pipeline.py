@@ -80,10 +80,29 @@ def run_pipeline(
     )
 
 
-def materialize(result: PipelineResult, out_dir: str) -> None:
+def content_invariant(repos: DataFrame) -> DataFrame:
+    """Per-row content invariant (BASELINE.json input_hint): the sha256 of
+    every input file's content, keyed by (repo, path, commit). The pipeline
+    never mutates content; writing this table alongside each run lets any
+    consumer verify byte-equality against the source scan — the Spark-side
+    analog of the reference comparing its inputs across stages."""
+    return repos.select(
+        "repo", "path", "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+def materialize(
+    result: PipelineResult, out_dir: str, repos: DataFrame | None = None
+) -> None:
     """Partitioned Parquet layout (Iceberg-style): triples partitioned by
     pred (partition pruning for per-predicate consumers), summaries by
-    rank-bucket; lineage rows per output partition."""
+    rank-bucket; lineage rows per output partition; the sha256 content
+    invariant table when the source scan is provided."""
+    if repos is not None:
+        content_invariant(repos).write.mode("overwrite").parquet(
+            f"{out_dir}/content_invariant"
+        )
     result.canon.write.mode("overwrite").partitionBy().parquet(f"{out_dir}/triples")
     result.theta.write.mode("overwrite").parquet(f"{out_dir}/entity_topic")
     result.phi.write.mode("overwrite").parquet(f"{out_dir}/topic_word")
