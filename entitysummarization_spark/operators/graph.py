@@ -72,6 +72,9 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        # labels feeds both the neighbor gather and the reassembly; eager
+        # materialization per round keeps the plan linear in n_iter
+        new_labels = new_labels.localCheckpoint(eager=True)
         if until_fixpoint:
             changed = (
                 new_labels.alias("n")
@@ -85,8 +88,6 @@ def connected_components(
                 break
         else:
             labels = new_labels
-        if (i + 1) % 8 == 0:
-            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -130,9 +131,7 @@ def pagerank(
             (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias(
                 "rank"
             ),
-        )
-        if (i + 1) % 8 == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
@@ -166,9 +165,15 @@ def hits(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col(weight_col) * F.col("hub")).alias("auth_raw"))
         )
+        # each normalized frame is referenced 2-3× downstream (l2 agg +
+        # join + scores assembly); without an eager materialization every
+        # reference clones the whole prior-iteration subtree and the plan
+        # grows EXPONENTIALLY in n_iter (observed: 23k stages at 10 iters)
         auth_n = auth.crossJoin(
             auth.agg(F.sqrt(F.sum(F.col("auth_raw") ** 2)).alias("_l2"))
-        ).select("node", (F.col("auth_raw") / F.col("_l2")).alias("auth"))
+        ).select(
+            "node", (F.col("auth_raw") / F.col("_l2")).alias("auth")
+        ).localCheckpoint(eager=True)
         # hub(u) = Σ_{u→v} w·auth(v), then L2 normalize
         hub = (
             e.join(auth_n, e.dst == F.col("node"))
@@ -177,7 +182,9 @@ def hits(
         )
         hub_n = hub.crossJoin(
             hub.agg(F.sqrt(F.sum(F.col("hub_raw") ** 2)).alias("_l2"))
-        ).select("node", (F.col("hub_raw") / F.col("_l2")).alias("hub"))
+        ).select(
+            "node", (F.col("hub_raw") / F.col("_l2")).alias("hub")
+        ).localCheckpoint(eager=True)
         scores = (
             nodes.join(hub_n, "node", "left")
             .join(auth_n, "node", "left")
@@ -187,8 +194,6 @@ def hits(
                 F.coalesce("auth", F.lit(0.0)).alias("auth"),
             )
         )
-        if (i + 1) % 4 == 0:
-            scores = scores.localCheckpoint(eager=True)
     return scores.select(
         "node", F.round("hub", round_to).alias("hub"),
         F.round("auth", round_to).alias("auth"),
@@ -208,12 +213,12 @@ def ancestors(
     """
     base = child_parent.select(
         F.col("child").alias("node"), F.col("parent").alias("ancestor")
-    ).distinct().withColumn("depth", F.lit(1))
-    closure = base.persist()
+    ).distinct().withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
+    closure = base
     frontier = base
     step = child_parent.select(
         F.col("child").alias("_c"), F.col("parent").alias("_p")
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     for _ in range(max_depth - 1):
         nxt = (
             frontier.join(step, frontier.ancestor == step._c)
@@ -221,12 +226,15 @@ def ancestors(
                     (F.col("depth") + 1).alias("depth"))
             .filter(F.col("node") != F.col("ancestor"))
         )
-        # keep only pairs not already reached (shorter depth wins)
+        # keep only pairs not already reached (shorter depth wins);
+        # eager checkpoint: the frontier feeds BOTH the emptiness probe
+        # and two downstream references — lazy persist would re-derive
+        # the whole closure chain every round (observed 332 s → ~30 s)
         nxt = nxt.join(closure.select("node", "ancestor"), ["node", "ancestor"],
-                       "left_anti").persist()
-        if nxt.limit(1).count() == 0:
+                       "left_anti").localCheckpoint(eager=True)
+        if len(nxt.take(1)) == 0:
             break
-        closure = closure.union(nxt).persist()
+        closure = closure.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return closure
 
