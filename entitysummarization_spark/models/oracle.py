@@ -52,9 +52,16 @@ def alpha_from_neighbors(
 
     with θ_nbr[p] = round((npd+α0)/(nd+P·α0), 4) — the base-α θ of the
     neighbor, 4-decimal-rounded like every reference posterior
-    (EntSumModel.java:553). The reference's `T / neighbors.length` is Java
-    INT division (a quirk that zeroes the smoothing for large
-    neighborhoods); we implement the intended float division (SURVEY §7).
+    (EntSumModel.java:553). Two documented deviations from the reference:
+    (1) `T / neighbors.length` is Java INT division there (a quirk that
+    zeroes the smoothing for large neighborhoods); we implement the
+    intended float division (SURVEY §7). (2) the reference's
+    EntLDA.computeTheta (EntLDA.java:352-358) evaluates θ_nbr with the
+    CURRENT smoothed alphaMat/sumAlpha, making the smoothing recursive
+    across refreshes; we use the base α0 — an intentional simplification
+    that keeps each refresh a pure function of the synchronized counts
+    (no cross-refresh hidden state), which is what makes the distributed
+    sweep's between-sweep α refresh well-defined and bit-reproducible.
 
     ``nbrs`` must be sorted by neighbor id and each entry is
     (nbr_id, nd, pred_ids, counts); both the NumPy oracle and the

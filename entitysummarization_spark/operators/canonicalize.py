@@ -58,19 +58,55 @@ def canonical_triples(triples: DataFrame, use_salt: bool = False) -> DataFrame:
 
 
 def dense_ids(df: DataFrame, col: str, id_col: str) -> DataFrame:
-    """Deterministic dense string→long dictionary.
+    """Deterministic dense string→long dictionary: id = rank in sorted-name
+    order, 0-based.
 
     The reference assigns IDs in first-seen file order
     (EntityProc.java:338-347) — meaningless under parallel scan order, so we
     assign by sorted name (documented deviation; the mapping stays bijective,
     which is all the model needs). Returns (col, id_col).
 
-    Scale note: a global row_number over one ordered partition serializes at
-    the final window — acceptable because dictionaries are dims (≤ ~10M
-    rows), and the zipWithIndex alternative loses determinism under AQE.
+    Scale shape (no single-task window): range-repartition on the sort key →
+    per-partition row_number + cumulative partition-count offsets. Range
+    partitions are ordered and non-overlapping, so
+    ``offset[pid] + local_rank`` IS the global sorted rank regardless of
+    where the sampled boundaries fall — every partition sorts/numbers in
+    parallel and only the #partitions-row count table reaches the driver.
+    (The previous global no-partition ``row_number`` pushed the whole dict —
+    one id per subject document, i.e. billions of rows at 100 TB — through
+    ONE task.) The partitioned frame is persisted so the count job and the
+    numbering job see identical range boundaries.
     """
-    w = Window.orderBy(col)
-    return (
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    d = (
         df.select(col).distinct()
-        .withColumn(id_col, F.row_number().over(w).cast("long") - 1)
+        .repartitionByRange(n_parts, F.col(col))
+        .persist()
     )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in d.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+    off_map = F.create_map(
+        *[F.lit(x) for pid in offsets for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    out = (
+        d.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            id_col,
+            (F.row_number().over(w).cast("long") - 1
+             + F.element_at(off_map, F.col("_pid")).cast("long")),
+        )
+        .select(col, id_col)
+        .localCheckpoint(eager=True)
+    )
+    d.unpersist()
+    return out

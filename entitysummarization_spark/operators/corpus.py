@@ -55,21 +55,30 @@ def build_corpus(
             F.count("*").alias("_ncat")
         )
         t = (
-            t.join(F.broadcast(ncat), t.obj == ncat.entity_name, "left")
+            # entity→category counts scale with the categorized-entity set —
+            # no broadcast hint; AQE picks (auto-broadcasts while tiny)
+            t.join(ncat, t.obj == ncat.entity_name, "left")
             .withColumn("freq", F.col("freq") * F.greatest(F.lit(1), F.coalesce("_ncat", F.lit(1))))
             .drop("entity_name", "_ncat")
         )
 
-    # F10 vocabulary prune before ID assignment
+    # F10 vocabulary prune before ID assignment (kept-vocab side is
+    # vocabulary-sized — let AQE pick broadcast vs shuffle)
     word_tot = t.groupBy("obj").agg(F.sum("freq").alias("_tot"))
     kept = word_tot.filter(F.col("_tot") >= min_word_freq).select("obj")
-    t = t.join(F.broadcast(kept), "obj", "semi") if min_word_freq > 1 else t
+    t = t.join(kept, "obj", "semi") if min_word_freq > 1 else t
     words = dense_ids(t, "obj", "word_id")
 
+    # Join strategy at scale: `preds` is a genuine dim (a few hundred
+    # predicates) — force broadcast. `docs` is one row per SUBJECT DOCUMENT
+    # and `words` one per vocabulary term — both scale with the corpus
+    # (billions of docs at 100 TB), so broadcasting them would OOM the
+    # driver/executors; leave them unhinted and let AQE choose
+    # (sort-merge/shuffled-hash at scale, auto-broadcast when tiny).
     facts = (
-        t.join(F.broadcast(docs), "subj")
+        t.join(docs, "subj")
         .join(F.broadcast(preds), "pred")
-        .join(F.broadcast(words), "obj")
+        .join(words, "obj")
         .select("doc_id", "pred_id", "word_id", F.col("freq").cast("int").alias("freq"),
                 "subj", "pred", "obj")
     )
@@ -86,7 +95,7 @@ def build_corpus(
         ncat = entity_category.groupBy("entity_name").agg(F.count("*").alias("ncat"))
         lam = (
             facts.select("pred_id", "word_id", "obj").distinct()
-            .join(F.broadcast(ncat), F.col("obj") == ncat.entity_name, "left")
+            .join(ncat, F.col("obj") == ncat.entity_name, "left")
             .select(
                 "pred_id",
                 "word_id",

@@ -110,10 +110,20 @@ def ngram_jaccard_pairs(
             ),
         )
     )
+    # Distributed top-k: orderBy().limit() plans TakeOrderedAndProject
+    # (per-partition partial top-k, merged on the driver) instead of
+    # funnelling every candidate pair through ONE global-window task.
+    # rnk is re-derived on the k-row result — identical output, and the
+    # (jac desc, id_a, id_b) key is a total order so limit() is stable.
+    top = (
+        jac.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_k)
+        .localCheckpoint(eager=True)  # k rows; frees the shingle cache below
+    )
+    sh.unpersist()
     w = Window.orderBy(F.desc("jaccard"), F.asc("id_a"), F.asc("id_b"))
     return (
-        jac.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= top_k)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("id_a", "id_b", "n_common", "jaccard", "rnk")
     )
 
@@ -187,7 +197,7 @@ def minhash_lsh_pairs(
     # shingle+signature pipeline (the expensive part) runs once, not twice
     bands = bands.persist()
     a, b_ = bands.alias("a"), bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -196,7 +206,13 @@ def minhash_lsh_pairs(
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").cast("long").alias("n_bands_shared"))
+        # candidate-pair table is near-dup-sized (≪ input); materializing it
+        # (executor-local storage, never the driver) lets the bands cache be
+        # released instead of accumulating across invocations
+        .localCheckpoint(eager=True)
     )
+    bands.unpersist()
+    return pairs
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -88,6 +88,9 @@ def connected_components(
                 break
         else:
             labels = new_labels
+    # labels is localCheckpoint-materialized — the cached edge list is no
+    # longer referenced by the returned plan
+    sym.unpersist()
     return labels
 
 
@@ -132,6 +135,9 @@ def pagerank(
                 "rank"
             ),
         ).localCheckpoint(eager=True)
+    # final ranks are checkpoint-materialized; release the loop caches
+    for cached in (contrib_e, nodes, e):
+        cached.unpersist()
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
 
 
@@ -194,10 +200,15 @@ def hits(
                 F.coalesce("auth", F.lit(0.0)).alias("auth"),
             )
         )
-    return scores.select(
+    # materialize the (node-sized) result so the loop caches can be freed
+    # and downstream consumers (top-k legs re-reading it twice) stay cheap
+    out = scores.select(
         "node", F.round("hub", round_to).alias("hub"),
         F.round("auth", round_to).alias("auth"),
-    )
+    ).localCheckpoint(eager=True)
+    nodes.unpersist()
+    e.unpersist()
+    return out
 
 
 def ancestors(
@@ -225,6 +236,13 @@ def ancestors(
             .select("node", F.col("_p").alias("ancestor"),
                     (F.col("depth") + 1).alias("depth"))
             .filter(F.col("node") != F.col("ancestor"))
+            # multi-parent DAGs (diamonds) reach the same (node, ancestor)
+            # via several equal-length paths IN THE SAME round — the
+            # left_anti below only removes pairs from PRIOR rounds, so
+            # without this dedup duplicates enter the closure and multiply
+            # through later frontiers. All rows this round share one depth,
+            # so dropDuplicates keeps the (unique) minimum.
+            .dropDuplicates(["node", "ancestor"])
         )
         # keep only pairs not already reached (shorter depth wins);
         # eager checkpoint: the frontier feeds BOTH the emptiness probe
@@ -258,11 +276,11 @@ def category_scores(
         "final",
         F.round(alpha * F.col("score") + (1 - alpha) * F.col("coverage"), 6),
     )
+    # TakeOrderedAndProject top-k: distributed partial sort + driver merge,
+    # not a single-task global window; rnk re-derived over the k rows
+    top = blended.orderBy(F.desc("final"), F.asc("category")).limit(top_k)
     w = Window.orderBy(F.desc("final"), F.asc("category"))
-    return (
-        blended.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= top_k)
-    )
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 TEXTRANK_SCHEMA = "doc_id long, word string, score double, rnk int"
@@ -433,13 +451,11 @@ def top_k_core_nodes(
 ) -> DataFrame:
     """W3: union of top-k authoritative and top-k hub nodes — the
     reference's 'core entity set' (PatternMatchingMachine.java:2363-2385).
-    Returns (node, hub, auth) deduplicated."""
-    wa = Window.orderBy(F.desc("auth"), F.asc("node"))
-    wh = Window.orderBy(F.desc("hub"), F.asc("node"))
-    top_a = scores.withColumn("_r", F.row_number().over(wa)).filter(
-        F.col("_r") <= k_auth
-    ).drop("_r")
-    top_h = scores.withColumn("_r", F.row_number().over(wh)).filter(
-        F.col("_r") <= k_hub
-    ).drop("_r")
+    Returns (node, hub, auth) deduplicated.
+
+    Both top-k legs are orderBy().limit() — TakeOrderedAndProject, a
+    distributed partial top-k — not global row_number windows, so no
+    single task ever sees the full score table."""
+    top_a = scores.orderBy(F.desc("auth"), F.asc("node")).limit(k_auth)
+    top_h = scores.orderBy(F.desc("hub"), F.asc("node")).limit(k_hub)
     return top_a.union(top_h).dropDuplicates(["node"])

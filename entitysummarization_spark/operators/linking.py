@@ -92,6 +92,7 @@ def ngd_relatedness(
     source_col: str,
     total: int | None = None,
     min_common: int = 1,
+    max_source_degree: int | None = 10_000,
 ) -> DataFrame:
     """Pairwise NGD relatedness: 1 − (ln max − ln |∩|)/(ln W − ln min)
     over in-link sets (PatternMatchingMachine.java:4956-4981;
@@ -99,10 +100,28 @@ def ngd_relatedness(
 
     Plan: distinct (entity, source) self-join on source (co-link pairs
     only — never all-pairs), groupBy pair → |∩|, broadcast-join sizes.
+
+    Skew guard: one hub source linking k entities emits k² pairs through
+    the self-join, so sources above ``max_source_degree`` are dropped
+    from the universe up front — the same head-key df-cap discipline as
+    the reference's category link cap (F12,
+    PatternMatchingMachine.java:105,2428-2434). The trade is recall on
+    pairs whose ONLY co-link is a hub — but a source linking >10k
+    entities carries ~no relatedness signal anyway (its NGD contribution
+    is noise, exactly why the reference caps generic categories at 2000).
+    Sizes and the W universe are computed over the capped set, keeping
+    the metric internally consistent. ``None`` disables the cap.
     """
     es = links.select(
         F.col(entity_col).alias("entity"), F.col(source_col).alias("src")
     ).distinct()
+    if max_source_degree is not None:
+        deg_ok = (
+            es.groupBy("src").agg(F.count("*").alias("_deg"))
+            .filter(F.col("_deg") <= max_source_degree)
+            .select("src")
+        )
+        es = es.join(deg_ok, "src", "semi")
     sizes = es.groupBy("entity").agg(F.count("*").cast("long").alias("sz"))
     if total is None:
         total_df = es.select(F.countDistinct("src").alias("_w"))

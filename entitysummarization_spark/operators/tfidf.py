@@ -62,11 +62,12 @@ def tfidf_cosine_pairs(
     """Top-k most-similar doc pairs by cosine over TF-IDF vectors (G14).
 
     dot(a,b) = Σ_shared tfidf_a·tfidf_b via self-join on word; norms from
-    a per-doc aggregate. Words with df > max_df are dropped from the PAIR
-    join only (they dominate cost, contribute least signal) — norms keep
-    every word so the cosine stays exact w.r.t. the capped vocabulary...
-    both sides use the capped vectors, keeping the metric symmetric and
-    oracle-reproducible. Ties: (cosine desc, id_a, id_b).
+    a per-doc aggregate. Words with df > max_df are dropped BEFORE both the
+    pair join and the norms (they dominate join cost, contribute least
+    signal) — i.e. the cosine is exact over the CAPPED vocabulary, and
+    because both the dots and the norms use the same capped vectors the
+    metric stays symmetric and oracle-reproducible.
+    Ties: (cosine desc, id_a, id_b).
     """
     v = tfidf(docs, id_col, text_col, round_to=10)
     capped = v.filter(F.col("df") <= max_df).select("doc_id", "word", "tfidf")
@@ -92,10 +93,17 @@ def tfidf_cosine_pairs(
                     round_to).alias("cosine"),
         )
     )
+    # TakeOrderedAndProject top-k (no single-task global window); rnk is
+    # re-derived over the k-row result — identical output, distributed sort
+    top = (
+        cos.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
+        .limit(top_k)
+        .localCheckpoint(eager=True)  # k rows; frees the capped cache below
+    )
+    capped.unpersist()
     w = Window.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b"))
     return (
-        cos.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= top_k)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("id_a", "id_b", "cosine", "rnk")
     )
 

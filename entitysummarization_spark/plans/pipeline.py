@@ -103,7 +103,9 @@ def materialize(
         content_invariant(repos).write.mode("overwrite").parquet(
             f"{out_dir}/content_invariant"
         )
-    result.canon.write.mode("overwrite").partitionBy().parquet(f"{out_dir}/triples")
+    result.canon.write.mode("overwrite").partitionBy("pred").parquet(
+        f"{out_dir}/triples"
+    )
     result.theta.write.mode("overwrite").parquet(f"{out_dir}/entity_topic")
     result.phi.write.mode("overwrite").parquet(f"{out_dir}/topic_word")
     result.summaries.write.mode("overwrite").parquet(f"{out_dir}/summaries")

@@ -1,0 +1,141 @@
+"""Round-2 scale fixes: diamond-DAG ancestors dedup, NGD hub cap,
+range-partitioned dense_ids, pred-partitioned materialize pruning, and
+TakeOrderedAndProject plans for the top-k operators."""
+
+import pyspark.sql.functions as F
+
+from entitysummarization_spark.operators import graph
+from entitysummarization_spark.operators.canonicalize import dense_ids
+from entitysummarization_spark.operators.linking import ngd_relatedness
+
+
+def test_ancestors_diamond_no_duplicates(spark):
+    # diamond (as child→parent): d→b, d→c, b→a, c→a — two equal-length
+    # paths d→a must yield ONE (d, a, 2) row, not two
+    cp = spark.createDataFrame(
+        [("d", "b"), ("d", "c"), ("b", "a"), ("c", "a")],
+        "child string, parent string",
+    )
+    rows = graph.ancestors(cp, max_depth=10).collect()
+    pairs = [(r["node"], r["ancestor"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate (node, ancestor) rows"
+    got = {(r["node"], r["ancestor"]): r["depth"] for r in rows}
+    assert got == {
+        ("d", "b"): 1, ("d", "c"): 1, ("d", "a"): 2,
+        ("b", "a"): 1, ("c", "a"): 1,
+    }
+
+
+def test_ancestors_stacked_diamonds_coverage(spark):
+    # two diamonds stacked: f→{d,e}→... with d,e→b,c? keep it simple:
+    # second diamond on top of the first (a is 4 hops from f, many paths)
+    cp = spark.createDataFrame(
+        [("f", "d"), ("f", "e"), ("d", "b"), ("e", "b"),
+         ("b", "a")],
+        "child string, parent string",
+    )
+    closure = graph.ancestors(cp, max_depth=10)
+    rows = closure.collect()
+    pairs = [(r["node"], r["ancestor"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    got = {(r["node"], r["ancestor"]): r["depth"] for r in rows}
+    assert got[("f", "b")] == 2 and got[("f", "a")] == 3
+    # category_scores coverage counts distinct descendants, not paths
+    cov = {
+        r["category"]: r["coverage"]
+        for r in graph.category_scores(closure).collect()
+    }
+    assert cov["a"] == 4  # b, d, e, f — each once
+    assert cov["b"] == 3  # d, e, f
+
+
+def test_ngd_hub_source_cap(spark):
+    # hub source links 4 entities (emits 6 pairs); sources s1/s2 link 2
+    rows = (
+        [("e%d" % i, "hub") for i in range(4)]
+        + [("e0", "s1"), ("e1", "s1"), ("e0", "s2"), ("e1", "s2"), ("e9", "s3")]
+    )
+    links = spark.createDataFrame(rows, "entity string, source string")
+    capped = ngd_relatedness(
+        links, "entity", "source", max_source_degree=3
+    ).collect()
+    # hub dropped → only the (e0, e1) pair (via s1+s2) survives
+    assert {(r["ent_a"], r["ent_b"]) for r in capped} == {("e0", "e1")}
+    assert capped[0]["n_common"] == 2
+    uncapped = ngd_relatedness(
+        links, "entity", "source", max_source_degree=None
+    ).collect()
+    assert len(uncapped) == 6  # all C(4,2) hub pairs incl. (e0,e1)
+
+
+def test_dense_ids_is_global_sorted_rank(spark):
+    import random
+
+    rnd = random.Random(7)
+    names = sorted({"n%05d" % rnd.randrange(10**5) for _ in range(500)})
+    shuffled = names[:]
+    rnd.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [(s,) for s in shuffled for _ in range(2)], "name string"
+    ).repartition(8)
+    got = {r["name"]: r["the_id"] for r in dense_ids(df, "name", "the_id").collect()}
+    assert got == {n: i for i, n in enumerate(names)}
+
+
+def test_materialize_pred_partition_pruning(spark, fixture_small, tmp_path):
+    from entitysummarization_spark.plans.pipeline import materialize, run_pipeline
+
+    repos = spark.createDataFrame(fixture_small.repos)
+    res = run_pipeline(spark, repos, vocab=fixture_small.vocab,
+                       n_sweeps=1, k=2, n_partitions=2)
+    out = str(tmp_path / "kg")
+    materialize(res, out, repos=repos)
+    preds = [r["pred"] for r in res.canon.select("pred").distinct().collect()]
+    assert len(preds) > 1
+    import os
+
+    # the layout is hive-partitioned by pred
+    subdirs = {d for d in os.listdir(f"{out}/triples") if d.startswith("pred=")}
+    assert subdirs == {f"pred={p}" for p in preds}
+    one = (
+        spark.read.parquet(f"{out}/triples")
+        .filter(F.col("pred") == preds[0])
+    )
+    # the pred filter lands in the scan's PartitionFilters → directory-level
+    # pruning (inputFiles() ignores filters, so inspect the physical plan)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and re.search(rf"pred#\d+ = {preds[0]}", pf[0])
+    # and the data round-trips
+    assert one.count() == res.canon.filter(F.col("pred") == preds[0]).count()
+
+
+def test_topk_plans_use_take_ordered(spark):
+    from entitysummarization_spark.operators import tfidf
+    from entitysummarization_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z a b c" % (i % 3)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    # category_scores / top_k_core_nodes: lazy plans — assert directly
+    cp = spark.createDataFrame([(2, 1), (3, 2)], "child long, parent long")
+    plan = graph.category_scores(
+        graph.ancestors(cp, max_depth=3)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    scores = spark.createDataFrame(
+        [(1, 0.9, 0.1), (2, 0.1, 0.9)], "node long, hub double, auth double"
+    )
+    plan2 = graph.top_k_core_nodes(
+        scores, 1, 1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan2
+    # jaccard / tfidf-cosine run eagerly (checkpointed top-k) — verify the
+    # output still carries a correct dense rnk
+    jac = ngram_jaccard_pairs(docs, n=2, top_k=3).collect()
+    assert [r["rnk"] for r in sorted(jac, key=lambda r: r["rnk"])] == [1, 2, 3]
+    cos = tfidf.tfidf_cosine_pairs(docs, top_k=3).collect()
+    assert [r["rnk"] for r in sorted(cos, key=lambda r: r["rnk"])] == [1, 2, 3]
