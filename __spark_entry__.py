@@ -234,6 +234,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(spark, sf, "documents"), n=3, top_k=20, max_df=10**9
         )
 
+    def dedup_ngram_jaccard_capped(spark, sf):
+        # df-cap ACTIVE (max shingle df in this data is 7): the blocking
+        # path itself is oracle-checked, not just the uncapped fallback
+        return dedup.ngram_jaccard_pairs(
+            _load(spark, sf, "documents"), n=3, top_k=20, max_df=4
+        )
+
     def minhash_lsh(spark, sf):
         return dedup.minhash_lsh_pairs(
             _load(spark, sf, "documents"), n_hashes=8, band_size=2
@@ -282,8 +289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sessionize(_load(spark, sf, "events"), gap_minutes=30)
 
     def simhash(spark, sf):
-        # rows-only check (xxhash64 not in DuckDB)
-        return dedup.simhash64(_load(spark, sf, "documents"))
+        # md5-bit variant: bit-for-bit reproducible in DuckDB (the
+        # xxhash64 simhash64 stays as the raw-throughput path, pytest-only)
+        return dedup.simhash_md5(_load(spark, sf, "documents"))
 
     def a10_tfidf(spark, sf):
         return tfidf.tfidf(_load(spark, sf, "documents"))
@@ -291,6 +299,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def g14_tfidf_cosine(spark, sf):
         return tfidf.tfidf_cosine_pairs(
             _load(spark, sf, "documents"), top_k=20, max_df=10**9
+        )
+
+    def g14_tfidf_cosine_capped(spark, sf):
+        # df-cap ACTIVE (median word df ≈ 388 of 500 docs): drops the
+        # ubiquitous half of the vocabulary from pairs AND norms
+        return tfidf.tfidf_cosine_pairs(
+            _load(spark, sf, "documents"), top_k=20, max_df=390
         )
 
     def f6_valid_names(spark, sf):
@@ -323,26 +338,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph.category_scores(graph.ancestors(cp, max_depth=20))
 
     def embed_neardup(spark, sf):
-        emb = _load(spark, sf, "embeddings")
-        from entitysummarization_spark.operators.similarity import _dot, _norm
-
-        e = emb.select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").cast("array<double>").alias("v"),
-        )
-        a, b = e.alias("a"), e.alias("b")
-        return (
-            a.join(b, F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.round(
-                    _dot(F.col("a.v"), F.col("b.v"))
-                    / (_norm(F.col("a.v")) * _norm(F.col("b.v"))),
-                    4,
-                ).alias("cosine"),
-            )
-            .filter(F.col("cosine") >= 0.4)
+        # LSH-banded blocking + exact re-score: no crossJoin in the plan;
+        # 16×1-bit bands give recall 1.0 at oracle scale (the exact-SQL
+        # oracle verifies exactly that — any missed pair fails the row gate)
+        return similarity.embedding_neardup(
+            _load(spark, sf, "embeddings"), dim=64, threshold=0.4,
+            n_bits=16, band_bits=1, seed=42,
         )
 
     def per_doc_core(spark, sf):
@@ -369,7 +370,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann_lsh_topk(spark, sf):
-        # rows-only: approximate — recall vs brute force gated in pytest
+        # oracle-checked: the DuckDB SQL inlines the SAME seeded hyperplane
+        # literals, so both engines build identical buckets; recall vs
+        # brute force is additionally gated in pytest
         emb = _load(spark, sf, "embeddings")
         return similarity.lsh_bucketed_topk(emb, dim=64, k=5)
 
@@ -397,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing": q1_pricing,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
         "minhash_lsh": minhash_lsh,
         "ann_cosine_topk": ann_cosine_topk,
         "lang_id": lang_id,
@@ -409,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": sessions,
         "a10_tfidf": a10_tfidf,
         "g14_tfidf_cosine": g14_tfidf_cosine,
+        "g14_tfidf_cosine_capped": g14_tfidf_cosine_capped,
         "f6_valid_names": f6_valid_names,
         "g4_connected_components": g4_connected_components,
         "g7_pagerank": g7_pagerank,
@@ -423,6 +428,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": simhash,
         "kg_pipeline_summaries": kg_pipeline_summaries,
     }
+
+
+def _ann_lsh_sql(
+    dim: int = 64, k: int = 5, n_planes: int = 10, n_tables: int = 4,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of similarity.lsh_bucketed_topk: the seeded hyperplanes
+    are inlined as float literals (plane_matrix is the single source of
+    truth), so bucketing — and therefore the approximate candidate set —
+    is bit-identical across engines; the re-score is the exact cosine."""
+    from entitysummarization_spark.operators.similarity import plane_matrix
+
+    tables = []
+    for t in range(n_tables):
+        planes = plane_matrix(dim, n_planes, seed + 7919 * t)
+        bucket = " || ".join(
+            "(CASE WHEN list_dot_product(v, ["
+            + ", ".join(repr(float(x)) for x in planes[p])
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in range(n_planes)
+        )
+        tables.append(f"SELECT vec_id AS id, {t} AS tbl, {bucket} AS bucket FROM e")
+    b = " UNION ALL ".join(tables)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS ({b}),
+        cand AS (
+          SELECT DISTINCT a.id AS query_id, c.id AS neighbor_id
+          FROM b a JOIN b c
+            ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id <> c.id),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 round(list_dot_product(qa.v, qb.v)
+                       / (sqrt(list_dot_product(qa.v, qa.v))
+                          * sqrt(list_dot_product(qb.v, qb.v))), 4) AS cosine
+          FROM cand JOIN e qa ON qa.vec_id = query_id
+                    JOIN e qb ON qb.vec_id = neighbor_id)
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+          ) AS rank FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _textrank_sql(n_iter: int = 20, damping: float = 0.85, top_k: int = 5) -> str:
+    """DuckDB mirror of graph.textrank_words on documents with doc_id < 50:
+    per-doc co-occurrence graph (adjacent distinct tokens, bidirectional),
+    fixed-iteration uniform-start PageRank, top-k words per doc. The SQL
+    carries (doc_id) through every join — one independent graph per doc,
+    exactly the grouped-UDF partitioning of the Spark side."""
+    ctes = [
+        f"d AS MATERIALIZED (SELECT doc_id, {_TOKS_SQL} AS t"
+        " FROM documents WHERE doc_id < 50)",
+        "pairs AS MATERIALIZED ("
+        " SELECT doc_id, t[i] AS a, t[i+1] AS b"
+        " FROM d, UNNEST(range(1, len(t))) u(i)"
+        " WHERE len(t) >= 2 AND t[i] <> t[i+1])",
+        "edges AS MATERIALIZED ("
+        " SELECT DISTINCT doc_id, a AS src, b AS dst FROM pairs"
+        " UNION SELECT doc_id, b, a FROM pairs)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(t) AS node FROM d)",
+        "nv AS MATERIALIZED (SELECT doc_id, count(*)::DOUBLE AS n"
+        " FROM nodes GROUP BY 1)",
+        "deg AS MATERIALIZED (SELECT doc_id, src, count(*)::DOUBLE AS deg"
+        " FROM edges GROUP BY 1, 2)",
+        "r0 AS MATERIALIZED (SELECT nodes.doc_id, node, 1.0 / nv.n AS rank"
+        " FROM nodes JOIN nv USING (doc_id))",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"r{i} AS MATERIALIZED ("
+            f" SELECT nd.doc_id, nd.node,"
+            f" (1.0 - {damping}) / nv.n + {damping} * coalesce(m.mass, 0) AS rank"
+            f" FROM nodes nd JOIN nv ON nv.doc_id = nd.doc_id"
+            f" LEFT JOIN (SELECT e.doc_id, e.dst AS node,"
+            f"  sum(r.rank / dg.deg) AS mass"
+            f"  FROM edges e"
+            f"  JOIN r{i-1} r ON r.doc_id = e.doc_id AND r.node = e.src"
+            f"  JOIN deg dg ON dg.doc_id = e.doc_id AND dg.src = e.src"
+            f"  GROUP BY 1, 2) m"
+            f" ON m.doc_id = nd.doc_id AND m.node = nd.node)"
+        )
+    return ("WITH " + ",\n".join(ctes) + f"""
+        SELECT doc_id, node AS word, round(rank, 6) AS score, rnk FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY rank DESC, node
+          )::INT AS rnk FROM r{n_iter}
+        ) WHERE rnk <= {top_k}
+    """)
 
 
 def _pagerank_sql(n_iter: int = 10, d: float = 0.85) -> str:
@@ -587,6 +682,26 @@ def oracle_sql() -> dict[str, str]:
                   ORDER BY jaccard DESC, id_a, id_b) AS rnk FROM jac
             ) WHERE rnk <= 20
         """,
+        "dedup_ngram_jaccard_capped": f"""
+            WITH sh AS ({shingles3}),
+            sizes AS (SELECT id, count(*)::BIGINT AS sz FROM sh GROUP BY id),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 4),
+            shc AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2),
+            jac AS (
+              SELECT id_a, id_b, n_common,
+                     round(n_common / (sa.sz + sb.sz - n_common), 4) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)
+            SELECT id_a, id_b, n_common, jaccard, rnk FROM (
+              SELECT *, row_number() OVER (
+                  ORDER BY jaccard DESC, id_a, id_b) AS rnk FROM jac
+            ) WHERE rnk <= 20
+        """,
         "minhash_lsh": f"""
             WITH sig AS ({minhash_sig}),
             bands AS ({bands})
@@ -734,6 +849,27 @@ def oracle_sql() -> dict[str, str]:
                         JOIN norms nb ON nb.doc_id = id_b
             ) WHERE rnk <= 20
         """,
+        "g14_tfidf_cosine_capped": f"""
+            WITH {_TFIDF_CORE.format(toks=toks)},
+            v AS (SELECT tf.doc_id, tf.word,
+                         round(tf.tf * ln(nn.d / dfr.df), 10) AS w
+                  FROM tf JOIN dfr USING (word) CROSS JOIN nn
+                  WHERE dfr.df <= 390),
+            norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM v GROUP BY 1),
+            dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                            sum(a.w * b.w) AS dot
+                     FROM v a JOIN v b ON a.word = b.word AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+            SELECT id_a, id_b, cosine, rnk FROM (
+              SELECT id_a, id_b,
+                     round(dot / (na.norm * nb.norm), 4) AS cosine,
+                     row_number() OVER (
+                         ORDER BY round(dot / (na.norm * nb.norm), 4) DESC,
+                                  id_a, id_b) AS rnk
+              FROM dots JOIN norms na ON na.doc_id = id_a
+                        JOIN norms nb ON nb.doc_id = id_b
+            ) WHERE rnk <= 20
+        """,
         "f6_valid_names": f"""
             WITH t AS (SELECT DISTINCT doc_id, word FROM
                        (SELECT doc_id, unnest({toks}) AS word FROM documents))
@@ -812,7 +948,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM e a JOIN e b ON a.vec_id < b.vec_id)
             SELECT id_a, id_b, cosine FROM s WHERE cosine >= 0.4
         """,
-        # simhash, textrank, ann_lsh_topk, kg_pipeline_summaries: rows-only
-        # (xxhash64 / per-doc NumPy power iteration / approximate LSH /
-        # iterative sampler are not SQL-expressible) — intentionally omitted.
+        "textrank": _textrank_sql(),
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "simhash": __import__(
+            "entitysummarization_spark.operators.dedup", fromlist=["x"]
+        ).simhash_md5_sql(),
+        # per_doc_core, kg_pipeline_summaries: rows-only (per-doc iterative
+        # NumPy CC/HITS/closeness; the multi-sweep sampler) — intentionally
+        # omitted; both are pytest-verified against closed forms / the
+        # NumPy oracle.
     }

@@ -215,11 +215,73 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def simhash_md5(
+    docs: DataFrame,
+    n_bits: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash per doc from md5-derived token bits: (id, simhash).
+
+    Token hash = first 15 hex chars of md5 parsed base-16 (60 bits —
+    stays in positive BIGINT range in every engine), per-bit ±1 votes
+    summed over token OCCURRENCES, sign → bit. Same semantics as
+    ``simhash64`` but md5-based so a DuckDB oracle reproduces it
+    bit-for-bit (the same cross-engine trick as MinHash signatures);
+    ``simhash64`` (xxhash64, one JVM hash vs md5's two passes) remains
+    the raw-throughput path.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    h = toks.select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{i}")
+        for i in range(n_bits)
+    ]
+    agg = h.groupBy("id").agg(*bit_cols)
+    return agg.select(
+        "id",
+        sum(
+            [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+             .cast("long") for i in range(n_bits)],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+
+
+def simhash_md5_sql(n_bits: int = 60, table: str = "documents") -> str:
+    """DuckDB-equivalent SQL for ``simhash_md5`` (shares the tokenization
+    contract; hex→int via the '0x' cast)."""
+    toks = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+    bits = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(n_bits)
+    )
+    recon = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id AS id, unnest({toks}) AS tok FROM {table}),
+        h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t),
+        votes AS (SELECT id, {bits} FROM h GROUP BY id)
+        SELECT id, ({recon})::BIGINT AS simhash FROM votes
+    """
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc from token xxhash64 bits: (id, simhash).
 
     JVM-side only (xxhash64 + bitwise aggs), no Python. Not oracle-SQL
-    verifiable (DuckDB lacks xxhash64) — covered by pytest instead.
+    verifiable (DuckDB lacks xxhash64) — ``simhash_md5`` is the
+    oracle-checked variant; this one is covered by pytest.
     """
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok")

@@ -79,6 +79,120 @@ def cosine_topk(
     )
 
 
+def hyperplane_bits(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, b0..b{n-1}): sign bit per random hyperplane, JVM-side dot
+    products (fold in array-index order — engine-portable). Shared by the
+    bucket builders below; planes are deterministic from the seed."""
+    planes = plane_matrix(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    return emb.select(
+        F.col(id_col).alias("id"),
+        *[
+            F.when(
+                _dot(v, F.array(*[F.lit(float(x)) for x in planes[p]])) >= 0,
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias(f"b{p}")
+            for p in range(n_planes)
+        ],
+    )
+
+
+def plane_matrix(dim: int, n_planes: int, seed: int) -> "np.ndarray":
+    """Deterministic random hyperplanes — one source of truth for the Spark
+    operators AND the DuckDB oracles (which inline these floats as SQL
+    literals), so both engines bucket identically."""
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_bits: int = 16,
+    band_bits: int = 1,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold — the scale
+    path: SimHash-banded LSH blocking + exact re-score, never an all-pairs
+    cross join.
+
+    Plan: n_bits hyperplane sign bits per vector (computed ONCE) → banded
+    into n_bits/band_bits buckets (the MinHash-banding trick applied to
+    hyperplane bits) → equi-join on (band, bucket) → distinct candidate
+    pairs → exact cosine → filter ≥ threshold. A pair at angle θ collides
+    in one band w.p. (1−θ/π)^band_bits, so the miss probability decays as
+    (1−(1−θ/π)^band_bits)^n_bands — with the default 16×1-bit bands a
+    θ=66° (cos 0.4) pair is missed w.p. (66/180)^16 ≈ 1e-7, i.e. recall
+    is 1.0 at verification scale (asserted against the exact cross join in
+    tests and reproduced bit-for-bit by the DuckDB oracle, which shares
+    the plane literals). At 100 TB the knobs move the other way
+    (band_bits 4–8 → smaller buckets, documented recall <1): the shuffle
+    keys are (band, bucket) — n_bands×N small rows — and the only joins
+    are equi-joins, so the plan survives scale-out; the single hot spot
+    would be a degenerate bucket (all-equal vectors), which AQE skew-join
+    splits.
+    """
+    assert n_bits % band_bits == 0
+    n_bands = n_bits // band_bits
+    bits = hyperplane_bits(emb, dim, n_bits, seed, id_col, vec_col)
+    bands = bits.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.concat_ws(
+                        "", *[F.col(f"b{bi * band_bits + j}")
+                              for j in range(band_bits)]
+                    ).alias("bucket"),
+                )
+                for bi in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    ea = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                round_to,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     dim: int,
@@ -89,8 +203,7 @@ def hyperplane_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: (id, bucket). Deterministic planes from seed,
     shipped as literal arrays (a dim×n_planes dense matrix is tiny)."""
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    planes = plane_matrix(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     bits = [
         F.when(
