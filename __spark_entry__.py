@@ -29,12 +29,11 @@ _TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a testdata table, re-splitting for parallelism: the small
-    single-row-group parquet files arrive as ONE partition, which would
-    serialize every downstream CPU-heavy stage (tokenize/shingle/hash) on
-    one core. At real scale file splits provide this for free."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    """Read a testdata table via the engine's scan layer (re-splits the
+    single-row-group files so downstream CPU stages parallelize)."""
+    from entitysummarization_spark.sources.readers import read_table
+
+    return read_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------- entry
@@ -275,6 +274,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"), ent.alias("entity"), "freq"
         )
 
+    def w7_pmi_labels(spark, sf):
+        # W7/M8: pseudo-topics = doc_id % 4; labels = linked lexicon
+        # entities (the mention machinery stands in for Lucene phrase df)
+        from entitysummarization_spark.operators.labeling import pmi_topic_labels
+
+        wf = _word_freq(spark, sf)
+        topic_word = wf.groupBy(
+            (F.col("doc_id") % 4).alias("topic"), "word"
+        ).agg(F.sum("freq").cast("double").alias("weight"))
+        doc_word = wf.select("doc_id", "word").distinct()
+        docs = _load(spark, sf, "documents")
+        m = detect_mentions(spark, docs, [s for s, _ in LEXICON])
+        ent = F.element_at(
+            F.create_map(*[F.lit(x) for kv in dict(LEXICON).items() for x in kv]),
+            F.col("surface"),
+        )
+        label_doc = m.select(
+            ent.alias("label"), F.col("id").alias("doc_id")
+        ).distinct()
+        return pmi_topic_labels(
+            topic_word, doc_word, label_doc, n_top_words=8, top_k=5
+        )
+
     def g10_ngd(spark, sf):
         # value>90 sparsifies the in-link sets (full sets make NGD degenerate)
         ev = _load(spark, sf, "events").filter(F.col("value") > 90)
@@ -408,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": token_stats,
         "fingerprint": fingerprint,
         "kg_mentions": kg_mentions,
+        "w7_pmi_labels": w7_pmi_labels,
         "g10_ngd": g10_ngd,
         "stream_window_counts": stream_window_counts,
         "sessions": sessions,
@@ -779,6 +802,56 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT doc_id, 'Table_Partition' FROM bigrams WHERE w = 'table part')
             SELECT doc_id, entity, count(*)::BIGINT AS freq FROM m GROUP BY 1, 2
+        """,
+        "w7_pmi_labels": f"""
+            WITH wf AS MATERIALIZED ({_WORD_FREQ_SQL}),
+            tw AS (SELECT doc_id % 4 AS topic, word, sum(freq)::DOUBLE AS weight
+                   FROM wf GROUP BY 1, 2),
+            nrm AS (SELECT topic, sum(weight) AS nrm FROM tw GROUP BY 1),
+            pw AS (SELECT topic, tw.word, weight / nrm.nrm AS pr_wt
+                   FROM tw JOIN nrm USING (topic)),
+            topw AS (SELECT topic, word, pr_wt FROM (
+                       SELECT *, row_number() OVER (
+                           PARTITION BY topic ORDER BY pr_wt DESC, word) AS rn
+                       FROM pw) WHERE rn <= 8),
+            dw AS (SELECT DISTINCT doc_id, word FROM wf),
+            t2 AS (SELECT doc_id, {toks} AS t FROM documents),
+            singles AS (SELECT doc_id, unnest(t) AS w FROM t2),
+            bigrams AS (
+              SELECT doc_id, array_to_string(t[i:i+1], ' ') AS w
+              FROM t2, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2),
+            ld AS (SELECT DISTINCT label, doc_id FROM (
+              SELECT doc_id, 'Apache_Spark' AS label FROM singles WHERE w = 'spark'
+              UNION ALL
+              SELECT doc_id, 'Join_Operator' FROM singles WHERE w = 'join'
+              UNION ALL
+              SELECT doc_id, 'Window_Function' FROM singles WHERE w = 'window'
+              UNION ALL
+              SELECT doc_id, 'Hash_Value' FROM bigrams WHERE w = 'hash value'
+              UNION ALL
+              SELECT doc_id, 'Table_Partition' FROM bigrams WHERE w = 'table part')),
+            nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM dw),
+            tws AS (SELECT DISTINCT word FROM topw),
+            dfw AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df_w
+                    FROM dw JOIN tws USING (word) GROUP BY 1),
+            dfl AS (SELECT label, count(DISTINCT doc_id)::BIGINT AS df_l
+                    FROM ld GROUP BY 1),
+            dfwl AS (SELECT dw.word, ld.label,
+                            count(DISTINCT dw.doc_id)::BIGINT AS df_wl
+                     FROM dw JOIN tws USING (word)
+                     JOIN ld ON ld.doc_id = dw.doc_id GROUP BY 1, 2),
+            scored AS (
+              SELECT topic, label,
+                     round(sum((pr_wt * df_wl * nn.n) / (df_w * df_l)), 6)
+                         AS score
+              FROM topw JOIN dfwl USING (word) JOIN dfw USING (word)
+                        JOIN dfl USING (label) CROSS JOIN nn
+              GROUP BY 1, 2)
+            SELECT topic, label, score, rnk FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY topic ORDER BY score DESC, label) AS rnk
+              FROM scored
+            ) WHERE rnk <= 5
         """,
         "g10_ngd": """
             WITH ev AS (SELECT * FROM events WHERE value > 90),

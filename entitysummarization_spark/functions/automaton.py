@@ -42,6 +42,51 @@ def tokenize_with_spans(text: str) -> list[tuple[str, int]]:
     return [(m.group(0), m.start()) for m in _TOKEN_RE.finditer(low)]
 
 
+# --- G13: sentence detection (SentParDetector analog) -------------------
+# Re-expresses the core split rule of
+# dicgenerator/SentParDetector.java:markupRawText (:92-115): a sentence
+# boundary is [.?!] (plus optional closing quote/bracket) followed by
+# whitespace and an uppercase letter / digit / quote / open paren —
+# UNLESS the terminator belongs to a protected abbreviation (the
+# reference's Mr./Dr./month/unit/latin lists, :104-117) or a single
+# capital initial ("A."). Paragraph breaks (blank lines) always split
+# (:92-93). The reference's SGML <p>/<s> markup, title handling and
+# bracket-clearing passes are presentation concerns we drop — the
+# OUTPUT here is the sentence list the AC scan iterates
+# (PatternMatchingMachine.java:1893,1906).
+_ABBREV = {
+    "mr", "mrs", "dr", "prof", "ms", "sir", "sr", "st", "mt", "gov",
+    "sgt", "sen", "capt", "lt", "gen", "lieut", "col", "cap", "esg",
+    "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept",
+    "oct", "nov", "dec", "ltd", "mon", "tue", "wed", "thu", "thur",
+    "fri", "sat", "sun", "max", "min", "kg", "ft", "oz", "gm", "lb",
+    "fig", "ref", "co", "al", "pp", "vs", "eg", "e.g", "i.e", "ie",
+    "usu", "ad", "ed", "eds", "yr", "yrs", "etc", "no",
+}
+_SENT_END = re.compile(r"[.?!][\"')\]]*\s+(?=[A-Z0-9\"'(])")
+_LAST_WORD = re.compile(r"([A-Za-z][A-Za-z.]*)[.?!]+[\"')\]]*$")
+
+
+def split_sentences(text: str) -> list[str]:
+    """Sentence list per the SentParDetector split rule (see above)."""
+    out: list[str] = []
+    for para in re.split(r"\n\s*\n", text):
+        start = 0
+        for m in _SENT_END.finditer(para):
+            lw = _LAST_WORD.search(para[start:m.end()].rstrip())
+            word = lw.group(1) if lw else ""
+            if word.lower() in _ABBREV or re.fullmatch(r"[A-Z]", word):
+                continue  # protected abbreviation / initial — no break
+            seg = para[start:m.end()].strip()
+            if seg:
+                out.append(seg)
+            start = m.end()
+        tail = para[start:].strip()
+        if tail:
+            out.append(tail)
+    return out
+
+
 class AhoCorasick:
     """goto/failure/output automaton over word tokens.
 

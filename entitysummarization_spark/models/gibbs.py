@@ -47,6 +47,12 @@ class GibbsConfig:
     base_seed: int = 7
     n_partitions: int = 8
     epsilon: float = 0.9     # M3 neighbor-smoothing mix (only with doc_sr)
+    # λ default for (pred, word) pairs absent from lam_df. 1.0 = M1's
+    # "unobserved pairs weigh 1" (EntityProc.java:468); 0.0 = the M5
+    # SontoLDA convention, where tfIdfMat is allocated zero-filled and
+    # only category-word TF-IDF entries are set
+    # (sontoldamodel/SontoLDA.java:524-531, used at :138-139).
+    lam_default: float = 1.0
 
     @property
     def alpha_eff(self) -> float:
@@ -76,8 +82,10 @@ def _collect_cand(obj_pred: DataFrame) -> dict[int, np.ndarray]:
     }
 
 
-def _collect_lam(lam_df: DataFrame | None, P: int, W: int) -> np.ndarray:
-    lam = np.ones((P, W))
+def _collect_lam(
+    lam_df: DataFrame | None, P: int, W: int, default: float = 1.0
+) -> np.ndarray:
+    lam = np.full((P, W), default, dtype=np.float64)
     if lam_df is not None:
         pdf = lam_df.toPandas()
         lam[pdf["pred_id"].to_numpy(), pdf["word_id"].to_numpy()] = pdf[
@@ -114,7 +122,7 @@ class DistributedGibbs:
         self.cfg = cfg
         self.doc_sr = doc_sr
         self.cand = _collect_cand(obj_pred)
-        self.lam = _collect_lam(lam_df, cfg.n_preds, cfg.n_words)
+        self.lam = _collect_lam(lam_df, cfg.n_preds, cfg.n_words, cfg.lam_default)
         self.sum_lam_beta = self.lam.sum(axis=1) * cfg.beta
         self.corpus = corpus
         self.state: DataFrame | None = None

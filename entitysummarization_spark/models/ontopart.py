@@ -1,0 +1,391 @@
+"""M6 ontoPartModel — chained topic→class→word collapsed Gibbs (SURVEY §2.8).
+
+Re-expresses the INTENDED semantics of
+/root/reference/TextProcessing/src/cs/uga/edu/ontoPart/ontoPartModel.java:
+each token (a (predicate, object) "word" w of entity-document d) carries a
+latent (topic t, ontology-class c) pair, with c restricted to the classes
+that may emit w (classToWordMap, :98). The chained conditional the code
+aims at (:195-228) is
+
+    p(t, c | d, w) ∝ (Ntd[d][t] + α)                 # topic given doc
+                   · (Nct[t][c] + β) / (Nt[t] + C·β)  # class given topic
+                   · (Nwc[c][w] + ζ) / (Nc[c] + W·ζ)  # word given class
+
+(the doc denominator (Nd[d]+T·α) is constant across the grid and drops).
+The reference method is unrunnable as written — documented bugs we do NOT
+reproduce (same policy as A5/W5, SURVEY §2.4):
+
+  - :180 passes the WORD as `cid` and literal 7 as `wid`, so every token
+    looks up classToWordMap.get(7);
+  - :208-209 loops classes `c` but tests/indexes `ctr` (the topic);
+  - :211 divides by Nt[did] (doc-indexed topic total), :215 by Nc[ctr]
+    (topic-indexed class total);
+  - :226-227 writes the sampled value into the PREDICATE array p[] and
+    updates the predicate count matrices, so topic/class state never
+    advances;
+  - initializeMatrices/initializeGibbsSampling (:606-616,:550-568) never
+    allocate or init Ntd/Nct/Nwc/t[].
+
+We implement the intended grid sampler with both latents drawn JOINTLY
+(one categorical over T × classes(w) — exact collapsed conditional; the
+broken code's separate passes would be a pseudo-Gibbs approximation).
+Posteriors follow computeTheta1/computePhi1/computeZeta (:383-406) with
+the intended index/denominator fixes:
+θ=(Ntd+α)/(Nd+T·α), φ=(Nct+β)/(Nt+C·β), ζ=(Nwc+ζ0)/(Nc+W·ζ0), all
+4-decimal rounded like every reference posterior.
+
+Distribution is the same AD-LDA scheme as models/gibbs.py: token state
+partitioned by doc_id (doc-local Ntd exact), global Nct/Nwc broadcast per
+sweep and updated partition-locally (stale across partitions), then
+recomputed exactly from the new state. RNG is seeded per
+(base_seed, sweep, doc) with a fixed draw order (init: one randint for t
+then one for c per token; sweep: one rand per token), so a 1-partition
+run is bit-identical to the NumPy oracle below.
+
+Scale: only T×C + C×W counts cross the cluster (T, C are ontology-sized;
+W is F10-pruned); token state never leaves its partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .gibbs import tokens_from_corpus
+from .oracle import rng_for
+
+STATE_SCHEMA = (
+    "doc_id long, words array<long>, ts array<long>, cs array<long>"
+)
+
+
+@dataclass
+class OntoPartConfig:
+    n_topics: int
+    n_classes: int
+    n_words: int
+    alpha: float | None = None
+    beta: float = 0.01        # class-given-topic smoothing (BETA, :61)
+    zeta: float = 0.01        # word-given-class smoothing (ZETA, :62)
+    base_seed: int = 7
+    n_partitions: int = 8
+
+    @property
+    def alpha_eff(self) -> float:
+        # same 50/K convention as the other models (ModelParameters.java:41)
+        return self.alpha if self.alpha is not None else 50.0 / self.n_topics
+
+
+def _collect_cls_cand(class_word: DataFrame) -> dict[int, np.ndarray]:
+    """word_id → sorted allowed class ids (classToWordMap inverted)."""
+    pdf = (
+        class_word.groupBy("word_id")
+        .agg(F.sort_array(F.collect_set("class_id")).alias("cls"))
+        .toPandas()
+    )
+    return {
+        int(w): np.asarray(cs, dtype=np.int64)
+        for w, cs in zip(pdf["word_id"], pdf["cls"])
+    }
+
+
+def _sample_token(
+    rng_u: float,
+    ntd: np.ndarray,          # T (doc-local, token removed)
+    nct: np.ndarray,          # T × C
+    nwc_w: np.ndarray,        # per-class count of THIS word (C-indexed slice)
+    nt: np.ndarray,           # T
+    nc: np.ndarray,           # C
+    cls: np.ndarray,          # allowed classes for this word
+    alpha: float,
+    beta: float,
+    zeta: float,
+    C: int,
+    W: int,
+) -> tuple[int, int]:
+    """One joint draw over the T × |cls| grid (t-major flatten)."""
+    term_c = (nwc_w[cls] + zeta) / (nc[cls] + W * zeta)           # |cls|
+    grid = (
+        (ntd[:, None] + alpha)
+        * (nct[:, cls] + beta) / (nt[:, None] + C * beta)
+        * term_c[None, :]
+    )
+    cdf = np.cumsum(grid.ravel())
+    u = rng_u * cdf[-1]
+    flat = int(np.searchsorted(cdf, u, side="right").clip(0, cdf.size - 1))
+    return flat // len(cls), int(cls[flat % len(cls)])
+
+
+class OntoPartOracle:
+    """Sequential NumPy reference for bit-parity tests (SURVEY §5)."""
+
+    def __init__(
+        self,
+        corpus: dict[int, tuple[np.ndarray, np.ndarray]],  # doc → (word_ids, freqs)
+        cls_cand: dict[int, np.ndarray],                   # word → allowed classes
+        cfg: OntoPartConfig,
+    ):
+        from .oracle import doc_token_words
+
+        self.cfg = cfg
+        self.cls_cand = cls_cand
+        T, C, W = cfg.n_topics, cfg.n_classes, cfg.n_words
+        self.doc_ids = sorted(corpus)
+        self.tokens = {d: doc_token_words(*corpus[d]) for d in self.doc_ids}
+        self.nct = np.zeros((T, C), dtype=np.int64)
+        self.nwc = np.zeros((C, W), dtype=np.int64)
+        self.ntd = {d: np.zeros(T, dtype=np.int64) for d in self.doc_ids}
+        self.ts: dict[int, np.ndarray] = {}
+        self.cs: dict[int, np.ndarray] = {}
+        for d in self.doc_ids:
+            rng = rng_for(cfg.base_seed, -1, d)
+            ws = self.tokens[d]
+            t_arr = np.empty(len(ws), dtype=np.int64)
+            c_arr = np.empty(len(ws), dtype=np.int64)
+            for i, w in enumerate(ws):
+                cls = cls_cand[int(w)]
+                t = rng.randint(T)
+                c = int(cls[rng.randint(len(cls))])
+                t_arr[i], c_arr[i] = t, c
+                self.ntd[d][t] += 1
+                self.nct[t, c] += 1
+                self.nwc[c, w] += 1
+            self.ts[d], self.cs[d] = t_arr, c_arr
+        self.nt = self.nct.sum(axis=1)
+        self.nc = self.nwc.sum(axis=1)
+
+    def sweep(self, sweep_idx: int) -> None:
+        cfg = self.cfg
+        T, C, W = cfg.n_topics, cfg.n_classes, cfg.n_words
+        a, b, z0 = cfg.alpha_eff, cfg.beta, cfg.zeta
+        for d in self.doc_ids:
+            rng = rng_for(cfg.base_seed, sweep_idx, d)
+            ws, ts, cs, ntd = self.tokens[d], self.ts[d], self.cs[d], self.ntd[d]
+            for i in range(len(ws)):
+                w, t_old, c_old = int(ws[i]), int(ts[i]), int(cs[i])
+                ntd[t_old] -= 1
+                self.nct[t_old, c_old] -= 1
+                self.nwc[c_old, w] -= 1
+                self.nt[t_old] -= 1
+                self.nc[c_old] -= 1
+                t_new, c_new = _sample_token(
+                    rng.rand(), ntd, self.nct, self.nwc[:, w], self.nt,
+                    self.nc, self.cls_cand[w], a, b, z0, C, W,
+                )
+                ts[i], cs[i] = t_new, c_new
+                ntd[t_new] += 1
+                self.nct[t_new, c_new] += 1
+                self.nwc[c_new, w] += 1
+                self.nt[t_new] += 1
+                self.nc[c_new] += 1
+
+    def run(self, n_sweeps: int) -> None:
+        for s in range(n_sweeps):
+            self.sweep(s)
+
+    def posteriors(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(θ D×T, φ T×C, ζ C×W), 4-decimal rounded."""
+        cfg = self.cfg
+        a, b, z0 = cfg.alpha_eff, cfg.beta, cfg.zeta
+        T, C, W = cfg.n_topics, cfg.n_classes, cfg.n_words
+        theta = np.zeros((len(self.doc_ids), T))
+        for row, d in enumerate(self.doc_ids):
+            theta[row] = (self.ntd[d] + a) / (len(self.tokens[d]) + T * a)
+        phi = (self.nct + b) / (self.nt[:, None] + C * b)
+        zeta = (self.nwc + z0) / (self.nc[:, None] + W * z0)
+        return np.round(theta, 4), np.round(phi, 4), np.round(zeta, 4)
+
+
+class DistributedOntoPart:
+    """Driver-side sweep loop, AD-LDA over DataFrame token state.
+
+        m = DistributedOntoPart(spark, corpus_df, class_word_df, cfg)
+        m.run(n_sweeps)
+        theta, phi, zeta = m.theta(), m.phi(), m.zeta()
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,          # doc_id, word_id, freq
+        class_word: DataFrame,      # class_id, word_id (classToWordMap)
+        cfg: OntoPartConfig,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.cls_cand = _collect_cls_cand(class_word)
+        self.corpus = corpus
+        self.state: DataFrame | None = None
+        self.nct: np.ndarray | None = None
+        self.nwc: np.ndarray | None = None
+        self.sweeps_done = 0
+
+    def init_state(self) -> None:
+        cfg = self.cfg
+        toks = tokens_from_corpus(self.corpus)
+        cand_bc = self.spark.sparkContext.broadcast(self.cls_cand)
+        T, seed = cfg.n_topics, cfg.base_seed
+
+        def init_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cand = cand_bc.value
+            for b in batches:
+                ts_col, cs_col = [], []
+                for d, ws in zip(b["doc_id"], b["words"]):
+                    rng = rng_for(seed, -1, int(d))
+                    n = len(ws)
+                    t_arr = np.empty(n, dtype=np.int64)
+                    c_arr = np.empty(n, dtype=np.int64)
+                    for i, w in enumerate(np.asarray(ws, dtype=np.int64)):
+                        cls = cand[int(w)]
+                        t_arr[i] = rng.randint(T)
+                        c_arr[i] = cls[rng.randint(len(cls))]
+                    ts_col.append(t_arr)
+                    cs_col.append(c_arr)
+                yield pd.DataFrame(
+                    {"doc_id": b["doc_id"], "words": b["words"],
+                     "ts": ts_col, "cs": cs_col}
+                )
+
+        self.state = (
+            toks.repartition(cfg.n_partitions, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .mapInPandas(init_fn, STATE_SCHEMA)
+            .persist()
+        )
+        self.state.count()
+        self._refresh_global_counts()
+        self.sweeps_done = 0
+
+    def _refresh_global_counts(self) -> None:
+        cfg = self.cfg
+        ex = self.state.select(
+            F.explode(F.arrays_zip("ts", "cs", "words")).alias("x")
+        ).select(
+            F.col("x.ts").alias("t"),
+            F.col("x.cs").alias("c"),
+            F.col("x.words").alias("w"),
+        ).persist()
+        tc = ex.groupBy("t", "c").count().toPandas()
+        cw = ex.groupBy("c", "w").count().toPandas()
+        ex.unpersist()
+        nct = np.zeros((cfg.n_topics, cfg.n_classes), dtype=np.int64)
+        nct[tc["t"].to_numpy(np.int64), tc["c"].to_numpy(np.int64)] = (
+            tc["count"].to_numpy(np.int64)
+        )
+        nwc = np.zeros((cfg.n_classes, cfg.n_words), dtype=np.int64)
+        nwc[cw["c"].to_numpy(np.int64), cw["w"].to_numpy(np.int64)] = (
+            cw["count"].to_numpy(np.int64)
+        )
+        self.nct, self.nwc = nct, nwc
+
+    def sweep(self) -> None:
+        cfg = self.cfg
+        sweep_idx = self.sweeps_done
+        bc = self.spark.sparkContext.broadcast(
+            (self.nct, self.nwc, self.cls_cand)
+        )
+        T, C, W = cfg.n_topics, cfg.n_classes, cfg.n_words
+        a, b, z0, seed = cfg.alpha_eff, cfg.beta, cfg.zeta, cfg.base_seed
+
+        def sweep_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            nct, nwc, cand = bc.value
+            nct = nct.copy()      # partition-local working copies (AD-LDA)
+            nwc = nwc.copy()
+            nt = nct.sum(axis=1)
+            nc = nwc.sum(axis=1)
+            for batch in batches:
+                ts_col, cs_col = [], []
+                for d, ws, ts, cs in zip(
+                    batch["doc_id"], batch["words"], batch["ts"], batch["cs"]
+                ):
+                    ws = np.asarray(ws, dtype=np.int64)
+                    ts = np.asarray(ts, dtype=np.int64).copy()
+                    cs = np.asarray(cs, dtype=np.int64).copy()
+                    ntd = np.bincount(ts, minlength=T).astype(np.int64)
+                    rng = rng_for(seed, sweep_idx, int(d))
+                    for i in range(len(ws)):
+                        w, t_old, c_old = int(ws[i]), int(ts[i]), int(cs[i])
+                        ntd[t_old] -= 1
+                        nct[t_old, c_old] -= 1
+                        nwc[c_old, w] -= 1
+                        nt[t_old] -= 1
+                        nc[c_old] -= 1
+                        t_new, c_new = _sample_token(
+                            rng.rand(), ntd, nct, nwc[:, w], nt, nc,
+                            cand[w], a, b, z0, C, W,
+                        )
+                        ts[i], cs[i] = t_new, c_new
+                        ntd[t_new] += 1
+                        nct[t_new, c_new] += 1
+                        nwc[c_new, w] += 1
+                        nt[t_new] += 1
+                        nc[c_new] += 1
+                    ts_col.append(ts)
+                    cs_col.append(cs)
+                yield pd.DataFrame(
+                    {"doc_id": batch["doc_id"], "words": batch["words"],
+                     "ts": ts_col, "cs": cs_col}
+                )
+
+        old = self.state
+        new_state = old.sortWithinPartitions("doc_id").mapInPandas(
+            sweep_fn, STATE_SCHEMA
+        ).persist()
+        new_state.count()
+        old.unpersist()
+        self.state = new_state
+        self.sweeps_done += 1
+        self._refresh_global_counts()
+
+    def run(self, n_sweeps: int) -> None:
+        if self.state is None:
+            self.init_state()
+        for _ in range(n_sweeps):
+            self.sweep()
+
+    # ---- posteriors ----
+    def theta(self) -> DataFrame:
+        """θ(doc_id, topic) = round((Ntd+α)/(Nd+T·α), 4), distributed."""
+        cfg = self.cfg
+        a, T = cfg.alpha_eff, cfg.n_topics
+        nd = self.state.select("doc_id", F.size("words").alias("nd"))
+        ntd = (
+            self.state.select("doc_id", F.explode("ts").alias("topic"))
+            .groupBy("doc_id", "topic")
+            .agg(F.count("*").alias("ntd"))
+        )
+        return ntd.join(nd, "doc_id").select(
+            "doc_id",
+            "topic",
+            F.round(
+                (F.col("ntd") + F.lit(a)) / (F.col("nd") + F.lit(T * a)), 4
+            ).alias("theta"),
+        )
+
+    def phi(self) -> np.ndarray:
+        """φ T×C = round((Nct+β)/(Nt+C·β), 4) — dense, driver-side (small)."""
+        cfg = self.cfg
+        nt = self.nct.sum(axis=1)
+        return np.round(
+            (self.nct + cfg.beta) / (nt[:, None] + cfg.n_classes * cfg.beta), 4
+        )
+
+    def zeta(self) -> np.ndarray:
+        """ζ C×W = round((Nwc+ζ0)/(Nc+W·ζ0), 4) — dense, driver-side."""
+        cfg = self.cfg
+        nc = self.nwc.sum(axis=1)
+        return np.round(
+            (self.nwc + cfg.zeta) / (nc[:, None] + cfg.n_words * cfg.zeta), 4
+        )
+
+    def z_state(self) -> dict[int, tuple[np.ndarray, np.ndarray]]:
+        pdf = self.state.select("doc_id", "ts", "cs").toPandas()
+        return {
+            int(d): (np.asarray(t, dtype=np.int64), np.asarray(c, dtype=np.int64))
+            for d, t, c in zip(pdf["doc_id"], pdf["ts"], pdf["cs"])
+        }

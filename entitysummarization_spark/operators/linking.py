@@ -26,7 +26,7 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..functions.automaton import AhoCorasick, tokenize
+from ..functions.automaton import AhoCorasick, split_sentences, tokenize
 
 # attr-tier confidence (reference tiers '1'..'6', high→low confidence;
 # weights per PatternMatchingMachine.java:2010,2036-2037)
@@ -39,23 +39,35 @@ def detect_mentions(
     surfaces: list[str],
     id_col: str = "doc_id",
     text_col: str = "text",
+    unit: str = "doc",
 ) -> DataFrame:
     """(id, surface, freq): maximal AC matches per document, counted.
 
     freq is the mention-repetition count (A3,
     PatternMatchingMachine.java:1950-1952).
+
+    ``unit="sentence"`` reproduces the reference's news-text entry point
+    (EP3): sentence-split first (G13, SentParDetector semantics —
+    functions/automaton.split_sentences), then run the AC scan per
+    sentence (PatternMatchingMachine.java:1893,1906) so a multi-word
+    surface never matches across a sentence boundary. ``"doc"`` (default)
+    scans the whole text — the right unit for source code, where the
+    line/identifier tokenizer already is the segmentation.
     """
     patterns = sorted({" ".join(tokenize(s)) for s in surfaces if s.strip()})
     bc = spark.sparkContext.broadcast(AhoCorasick(patterns))
+    per_sentence = unit == "sentence"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = bc.value
         for b in batches:
             ids, surfs = [], []
             for i, txt in zip(b[id_col], b[text_col]):
-                for _, _, surf in ac.find(tokenize(txt)):
-                    ids.append(i)
-                    surfs.append(surf)
+                units = split_sentences(txt) if per_sentence else [txt]
+                for u in units:
+                    for _, _, surf in ac.find(tokenize(u)):
+                        ids.append(i)
+                        surfs.append(surf)
             yield pd.DataFrame({"id": pd.Series(ids, dtype="int64"),
                                 "surface": pd.Series(surfs, dtype="object")})
 

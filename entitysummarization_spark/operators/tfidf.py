@@ -108,6 +108,39 @@ def tfidf_cosine_pairs(
     )
 
 
+def tfidf_weight_matrix(
+    cat_word: DataFrame,      # pred_id (topic/category), word_id, freq
+    round_to: int = 6,
+) -> DataFrame:
+    """M5 SontoLDA β-weight matrix: weight(t, w) = tf(t, w) · ln(T / df(w)).
+
+    The reference loads tfIdfMat precomputed from `categoryWordMat.txt`
+    (sontoldamodel/SontoLDA.java:524-535) — the file itself comes from the
+    A10 TF-IDF pass over category word bags (CategoryProcessor /
+    PatternMatchingMachine.java:4499-4522). Here the same matrix is one
+    tf aggregate + one df aggregate; pairs absent from the output weigh 0
+    (pass ``lam_default=0.0`` in GibbsConfig), matching the reference's
+    zero-filled allocation. Note ln(T/df)=0 for words present in every
+    topic — they too contribute nothing to the prior, as in the reference.
+    """
+    tf = cat_word.groupBy("pred_id", "word_id").agg(
+        F.sum("freq").cast("double").alias("tf")
+    )
+    df = tf.groupBy("word_id").agg(F.count("*").cast("long").alias("df"))
+    n_topics = cat_word.select("pred_id").distinct().count()
+    return (
+        tf.join(F.broadcast(df), "word_id")
+        .select(
+            "pred_id",
+            "word_id",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_topics)) / F.col("df")),
+                round_to,
+            ).alias("weight"),
+        )
+    )
+
+
 def valid_names(
     docs: DataFrame,
     id_col: str = "doc_id",

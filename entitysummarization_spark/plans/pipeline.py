@@ -45,7 +45,12 @@ def run_pipeline(
     alpha: float | None = None,
     beta: float = 0.01,
     min_word_freq: int = 1,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> PipelineResult:
+    """``checkpoint_dir`` + ``checkpoint_every=k`` saves the sampler state
+    every k sweeps (north-rule resume: a killed run restarts from the last
+    saved sweep via plans.checkpoint.load_checkpoint, bit-identical)."""
     triples = extract_triples(spark, repos, vocab)
     canon = canonical_triples(triples).persist()
     bundle = build_corpus(canon, entity_category=entity_category,
@@ -68,7 +73,17 @@ def run_pipeline(
         base_seed=base_seed, n_partitions=n_partitions,
     )
     gibbs = DistributedGibbs(spark, bundle.corpus, bundle.obj_pred, bundle.lam, cfg)
-    gibbs.run(n_sweeps)
+    if checkpoint_dir and checkpoint_every > 0:
+        from .checkpoint import save_checkpoint
+
+        done = 0
+        while done < n_sweeps:
+            step = min(checkpoint_every, n_sweeps - done)
+            gibbs.run(step)
+            done += step
+            save_checkpoint(gibbs, checkpoint_dir)
+    else:
+        gibbs.run(n_sweeps)
 
     fact_pairs = bundle.facts.select("doc_id", "pred_id").distinct()
     theta = gibbs.theta(for_pairs=fact_pairs)

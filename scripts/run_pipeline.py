@@ -68,12 +68,17 @@ def main() -> None:
         repos = spark.read.parquet(args.input)
 
     n_parts = args.partitions or spark.sparkContext.defaultParallelism
+    ck_dir = os.path.join(args.output, "checkpoints")
     result = run_pipeline(
         spark, repos, vocab=vocab, n_sweeps=args.sweeps, k=args.k,
         base_seed=args.seed, n_partitions=n_parts,
+        # mid-run resume points every k sweeps (a long sweep schedule
+        # restarts from the last saved sweep, not from zero)
+        checkpoint_dir=ck_dir, checkpoint_every=args.checkpoint_every,
     )
-    if result.gibbs is not None:
-        save_checkpoint(result.gibbs, os.path.join(args.output, "checkpoints"))
+    if result.gibbs is not None and args.checkpoint_every <= 0:
+        # chunked runs already saved after the final chunk
+        save_checkpoint(result.gibbs, ck_dir)
     materialize(result, args.output, repos=repos)
     print(f"wrote {args.output}: triples={result.canon.count()}, "
           f"summaries={result.summaries.count()}")

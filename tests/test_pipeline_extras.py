@@ -42,3 +42,19 @@ def test_content_invariant_sha256(spark, fixture_small):
         inv.join(again, ["repo", "path", "commit", "content_sha256"]).count()
         == len(fixture_small.repos)
     )
+
+
+def test_sources_read_text_dir(spark, tmp_path):
+    from entitysummarization_spark.sources.readers import read_table, read_text_dir
+
+    (tmp_path / "a.txt").write_text("alpha doc")
+    (tmp_path / "b.txt").write_text("beta doc")
+    rows = read_text_dir(spark, str(tmp_path)).collect()
+    got = {r["path"].rsplit("/", 1)[-1]: r["content"] for r in rows}
+    assert got == {"a.txt": "alpha doc", "b.txt": "beta doc"}
+    # read_table re-splits to the session parallelism
+    df = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    df.write.mode("overwrite").parquet(str(tmp_path / "t.parquet"))
+    rt = read_table(spark, str(tmp_path / "t.parquet"))
+    assert rt.count() == 100
+    assert rt.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
