@@ -369,11 +369,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def per_doc_core(spark, sf):
-        # rows-only: per-doc CC+HITS+closeness+core (iterative NumPy in
-        # applyInPandas); unit-tested against closed forms
+        # oracle-checked: per-doc CC+HITS+closeness+core (iterative NumPy in
+        # applyInPandas). The per-doc co-mention graph is a complete DAG over
+        # the doc's distinct lexicon entities (≤5 nodes), so the DuckDB
+        # oracle unrolls the same 10 HITS iterations as ranked window sums;
+        # entity ids are literal (1..5 in LEXICON order) so both engines
+        # agree without sharing a hash function.
         docs = _load(spark, sf, "documents").filter(F.col("doc_id") < 200)
         m = detect_mentions(spark, docs, [s for s, _ in LEXICON])
-        ent_id = F.abs(F.hash("surface")).cast("long")
+        ent_id = F.element_at(
+            F.create_map(*[
+                F.lit(x)
+                for i, (s, _) in enumerate(LEXICON, start=1)
+                for x in (s, i)
+            ]),
+            F.col("surface"),
+        ).cast("long")
         me = m.select(F.col("id").alias("doc_id"), ent_id.alias("ent"))
         a, b = me.alias("a"), me.alias("b")
         edges = (
@@ -598,6 +609,68 @@ def _hits_ctes(n_iter: int = 10) -> str:
         f"LEFT JOIN a{n_iter} a ON a.node = nd.node)"
     )
     return "WITH " + ",\n".join(ctes)
+
+
+def _per_doc_core_sql(n_iter: int = 10, k_core: int = 3) -> str:
+    """DuckDB oracle for ``per_doc_core``: the per-doc co-mention graph over
+    literal lexicon entity ids (1..5) is a complete DAG ordered by id, so —
+    largest CC = the whole graph, closeness = 1/(n-1) for every node, and
+    each HITS iteration (auth_j = Σ_{i<j} hub_i, hub_i = Σ_{j>i} auth_j,
+    L2-normalized per doc) is a ranked window sum. Unrolled ``n_iter`` times
+    to mirror graph.per_doc_core_entities' NumPy loop exactly."""
+    ctes = [
+        f"""t AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+          WHERE doc_id < 200),
+    singles AS (SELECT doc_id, unnest(t) AS w FROM t),
+    bigrams AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS w
+                FROM t, UNNEST(range(1, len(t))) u(i) WHERE len(t) >= 2),
+    m AS (
+      SELECT doc_id, 1 AS ent FROM singles WHERE w = 'spark'
+      UNION ALL SELECT doc_id, 2 FROM singles WHERE w = 'join'
+      UNION ALL SELECT doc_id, 3 FROM singles WHERE w = 'window'
+      UNION ALL SELECT doc_id, 4 FROM bigrams WHERE w = 'hash value'
+      UNION ALL SELECT doc_id, 5 FROM bigrams WHERE w = 'table part'),
+    ments AS (SELECT DISTINCT doc_id, ent FROM m),
+    cnt AS (SELECT doc_id, count(*) AS n FROM ments GROUP BY 1),
+    h0 AS MATERIALIZED (
+      SELECT m.doc_id, m.ent, cnt.n, 1.0::DOUBLE AS hub, 0.0::DOUBLE AS auth
+      FROM ments m JOIN cnt USING (doc_id) WHERE cnt.n >= 2)"""
+    ]
+    prev = "h0"
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""a{k} AS MATERIALIZED (
+      SELECT doc_id, ent, n,
+             CASE WHEN nrm > 0 THEN auth / nrm ELSE auth END AS auth
+      FROM (SELECT *, SQRT(SUM(auth * auth) OVER (PARTITION BY doc_id)) AS nrm
+            FROM (SELECT doc_id, ent, n,
+                         COALESCE(SUM(hub) OVER (PARTITION BY doc_id
+                             ORDER BY ent ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS auth
+                  FROM {prev})))""")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+      SELECT doc_id, ent, n, auth,
+             CASE WHEN nrm > 0 THEN hub / nrm ELSE hub END AS hub
+      FROM (SELECT *, SQRT(SUM(hub * hub) OVER (PARTITION BY doc_id)) AS nrm
+            FROM (SELECT doc_id, ent, n, auth,
+                         COALESCE(SUM(auth) OVER (PARTITION BY doc_id
+                             ORDER BY ent ROWS BETWEEN 1 FOLLOWING
+                             AND UNBOUNDED FOLLOWING), 0) AS hub
+                  FROM a{k})))""")
+        prev = f"h{k}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT doc_id, ent::BIGINT AS node,
+           round(hub, 6) AS hub, round(auth, 6) AS auth,
+           round(1.0 / (n - 1), 6) AS closeness,
+           TRUE AS in_largest_cc,
+           (ra <= {k_core} OR ent_rk <= {k_core}) AS is_core
+    FROM (SELECT *,
+            row_number() OVER (PARTITION BY doc_id
+                               ORDER BY auth DESC, ent) AS ra,
+            row_number() OVER (PARTITION BY doc_id ORDER BY ent) AS ent_rk
+          FROM {prev})
+    """
+    )
 
 
 _TFIDF_CORE = """
@@ -1023,11 +1096,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "textrank": _textrank_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "per_doc_core": _per_doc_core_sql(),
         "simhash": __import__(
             "entitysummarization_spark.operators.dedup", fromlist=["x"]
         ).simhash_md5_sql(),
-        # per_doc_core, kg_pipeline_summaries: rows-only (per-doc iterative
-        # NumPy CC/HITS/closeness; the multi-sweep sampler) — intentionally
-        # omitted; both are pytest-verified against closed forms / the
-        # NumPy oracle.
+        # kg_pipeline_summaries: rows-only (multi-sweep collapsed Gibbs —
+        # genuinely non-SQL-expressible); pytest-verified against the NumPy
+        # oracle (1-partition bit-parity) and the NDCG rank gate.
     }
