@@ -132,7 +132,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ngd_relatedness,
     )
     from entitysummarization_spark.streaming.events import (
+        final_sessions,
+        run_stream_once,
         sessionize,
+        stateful_sessionize,
+        stream_events_from_parquet,
         windowed_event_counts,
     )
 
@@ -310,6 +314,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sessions(spark, sf):
         return sessionize(_load(spark, sf, "events"), gap_minutes=30)
 
+    def stateful_sessions(spark, sf):
+        # the REAL streaming path: readStream → applyInPandasWithState
+        # (GroupState per user) → update-mode sink → final reduce. Single
+        # availableNow batch here (the fold sorts in-batch), so the result
+        # equals the batch/oracle sessionization deterministically; the
+        # multi-micro-batch state handoff is exercised in
+        # tests/test_streaming_state.py with time-sliced files.
+        import os
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="esum_stream_")
+        os.symlink(f"{sf}/events.parquet", os.path.join(d, "part-0.parquet"))
+        stream = stream_events_from_parquet(spark, d, max_files=10**6)
+        emitted = run_stream_once(
+            stateful_sessionize(stream, gap_minutes=30),
+            "stateful_sessions_q", output_mode="update",
+        )
+        return final_sessions(emitted)
+
     def simhash(spark, sf):
         # md5-bit variant: bit-for-bit reproducible in DuckDB (the
         # xxhash64 simhash64 stays as the raw-throughput path, pytest-only)
@@ -445,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_ngd": g10_ngd,
         "stream_window_counts": stream_window_counts,
         "sessions": sessions,
+        "stateful_sessions": stateful_sessions,
         "a10_tfidf": a10_tfidf,
         "g14_tfidf_cosine": g14_tfidf_cosine,
         "g14_tfidf_cosine_capped": g14_tfidf_cosine_capped,
@@ -699,7 +723,7 @@ def oracle_sql() -> dict[str, str]:
         for bi in range(4)
     )
 
-    return {
+    out = {
         "a1_word_freq": _WORD_FREQ_SQL,
         "a2_corpus_stats": f"""
             SELECT count(DISTINCT doc_id) AS n_docs,
@@ -1104,3 +1128,7 @@ def oracle_sql() -> dict[str, str]:
         # genuinely non-SQL-expressible); pytest-verified against the NumPy
         # oracle (1-partition bit-parity) and the NDCG rank gate.
     }
+    # the stateful-streaming sessionizer must converge to the exact batch
+    # sessionization, so it shares its oracle
+    out["stateful_sessions"] = out["sessions"]
+    return out

@@ -66,6 +66,95 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+SESSION_SCHEMA = (
+    "user_id long, session_id long, n_events long, start_us long, end_us long"
+)
+_STATE_SCHEMA = "session_id long, n_events long, start_us long, end_us long"
+
+
+def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming twin of :func:`sessionize` — a custom stateful operator via
+    ``applyInPandasWithState`` keyed by ``user_id``.
+
+    Per-user GroupState = the OPEN session (session_id, n_events, start_us,
+    end_us). Each micro-batch folds its (in-batch-sorted) events into the
+    state: a gap > ``gap_minutes`` closes the open session and starts the
+    next. Every session touched in a batch is emitted with its cumulative
+    stats; ``n_events`` is monotone per session, so the LAST emission per
+    (user_id, session_id) is the final answer — reduce with
+    :func:`final_sessions`. Cross-batch correctness assumes the source
+    delivers each user's events in non-decreasing event time across
+    batches (time-sliced files / watermark-ordered upstream); late
+    cross-batch events would need watermark + reconciliation, which the
+    batch form handles exactly.
+
+    Scale shape: state is one tiny row per ACTIVE user (closed sessions
+    leave the state store), partitioned by the groupBy key — no global
+    structure, no driver involvement.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            sid, n, st, en = state.get
+        else:
+            sid, n, st, en = 0, 0, None, None
+        rows: list[tuple[int, int, int, int, int]] = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            ts = batch["ts"]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            # normalize to ns first: Arrow hands Spark UDFs datetime64[ns],
+            # but parquet read via pandas yields datetime64[us] — a bare
+            # astype(int64) would be off by 1000× depending on the source
+            batch = batch.assign(
+                _us=ts.astype("datetime64[ns]").astype("int64") // 1000
+            )
+            batch = batch.sort_values(["_us", "event_id"], kind="mergesort")
+            for t in batch["_us"]:
+                t = int(t)
+                if st is None:
+                    sid, n, st, en = 1, 1, t, t
+                elif t - en > gap_us:
+                    rows.append((user_id, sid, n, st, en))
+                    sid, n, st, en = sid + 1, 1, t, t
+                else:
+                    n, en = n + 1, t
+        if st is not None:
+            rows.append((user_id, sid, n, st, en))
+            state.update((sid, n, st, en))
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "session_id", "n_events", "start_us", "end_us"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def final_sessions(emitted: DataFrame) -> DataFrame:
+    """Reduce the update-mode emissions of :func:`stateful_sessionize` to
+    one final row per session (n_events is monotone per session; start is
+    fixed at open; end is monotone)."""
+    return emitted.groupBy("user_id", "session_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.min("start_us").cast("long").alias("start_us"),
+        F.max("end_us").cast("long").alias("end_us"),
+    )
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, max_files: int = 1
 ) -> DataFrame:
@@ -79,13 +168,17 @@ def stream_events_from_parquet(
     )
 
 
-def run_stream_once(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_stream_once(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Execute a streaming plan with availableNow → in-memory sink →
-    return the final result as a batch DataFrame (test/bench harness)."""
+    return the final result as a batch DataFrame (test/bench harness).
+    Use ``output_mode="update"`` for applyInPandasWithState plans (their
+    sink collects every emission; reduce with :func:`final_sessions`)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
