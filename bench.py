@@ -197,7 +197,8 @@ def scaling_run(hw_ceiling: float, rounds: int = 2) -> dict:
     import shutil
     import subprocess
 
-    pin = shutil.which("taskset") is not None
+    pin_cpus = _pin_cpu_ids(max(SCALING_CORES))
+    pin = shutil.which("taskset") is not None and pin_cpus is not None
     trials: dict[int, list[float]] = {n: [] for n in SCALING_CORES}
     map_trials: dict[int, list[float]] = {n: [] for n in SCALING_CORES}
     round_mins: list[dict[int, float]] = []
@@ -208,7 +209,8 @@ def scaling_run(hw_ceiling: float, rounds: int = 2) -> dict:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--scaling-worker", str(n)]
             if pin:
-                cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+                cpus = ",".join(str(c) for c in pin_cpus[:n])
+                cmd = ["taskset", "-c", cpus] + cmd
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  check=True)
             res = json.loads(out.stdout.strip().splitlines()[-1])
@@ -272,15 +274,29 @@ def _str_burn(_):
     return n
 
 
+def _pin_cpu_ids(need: int) -> list[int] | None:
+    """First ``need`` CPU ids actually available to this process (cgroup
+    cpusets / non-contiguous ids safe), or None if fewer exist — callers
+    fall back to unpinned measurement then."""
+    try:
+        avail = sorted(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        return None
+    return avail[:need] if len(avail) >= need else None
+
+
 def _hw_ceiling(fn=_str_burn) -> float:
     """Pure-CPU 4→16-worker scaling of this VM (no Spark): the ceiling any
     4× strong-scaling measurement on this box is subject to. Each leg is
-    pinned to exactly nw cores (same affinity discipline as scaling_run)."""
+    pinned to exactly nw cores (same affinity discipline as scaling_run)
+    when that many CPUs are available to us."""
     full = os.sched_getaffinity(0)
+    pin_cpus = _pin_cpu_ids(max(SCALING_CORES))
     thr = {}
     try:
         for nw in SCALING_CORES:
-            os.sched_setaffinity(0, set(range(nw)))
+            if pin_cpus is not None:
+                os.sched_setaffinity(0, set(pin_cpus[:nw]))
             ntask = nw * 16
             with mp.Pool(nw) as p:
                 p.map(fn, range(nw * 2))

@@ -73,9 +73,18 @@ def split_sentences(text: str) -> list[str]:
     for para in re.split(r"\n\s*\n", text):
         start = 0
         for m in _SENT_END.finditer(para):
-            lw = _LAST_WORD.search(para[start:m.end()].rstrip())
-            word = lw.group(1) if lw else ""
-            if word.lower() in _ABBREV or re.fullmatch(r"[A-Z]", word):
+            seg_txt = para[start:m.end()].rstrip()
+            # abbreviations only ever end in '.' — a '?' or '!' terminator
+            # is always a real boundary ("Loads were at max!" must split
+            # even though "max" is in the unit list)
+            lw = _LAST_WORD.search(seg_txt)
+            word, ends_in_period = ("", False)
+            if lw:
+                word = lw.group(1)
+                ends_in_period = seg_txt[lw.end(1):].startswith(".")
+            if ends_in_period and (
+                word.lower() in _ABBREV or re.fullmatch(r"[A-Z]", word)
+            ):
                 continue  # protected abbreviation / initial — no break
             seg = para[start:m.end()].strip()
             if seg:

@@ -142,7 +142,10 @@ def embedding_neardup(
     would be a degenerate bucket (all-equal vectors), which AQE skew-join
     splits.
     """
-    assert n_bits % band_bits == 0
+    if n_bits % band_bits != 0:
+        # a bare assert vanishes under -O and would silently drop bits
+        # (n_bands floor-division), weakening the miss-probability bound
+        raise ValueError(f"n_bits={n_bits} not divisible by band_bits={band_bits}")
     n_bands = n_bits // band_bits
     bits = hyperplane_bits(emb, dim, n_bits, seed, id_col, vec_col)
     bands = bits.select(

@@ -82,6 +82,10 @@ def run_pipeline(
             gibbs.run(step)
             done += step
             save_checkpoint(gibbs, checkpoint_dir)
+        if n_sweeps == 0:
+            # a 0-sweep run still leaves a (sweep-0) resume point —
+            # downstream tooling expects checkpoint_dir to be populated
+            save_checkpoint(gibbs, checkpoint_dir)
     else:
         gibbs.run(n_sweeps)
 

@@ -24,6 +24,21 @@ def test_split_protects_abbreviations_and_initials():
     assert got2 == ["A. Lincoln spoke.", "B. Franklin wrote."]
 
 
+def test_abbreviation_guard_only_applies_to_periods():
+    # "max"/"min"/"no" are in the protected-unit list, but abbreviations
+    # only ever end in '.' — '?'/'!' is always a real boundary
+    assert split_sentences("Loads were at max! Next run started.") == [
+        "Loads were at max!", "Next run started.",
+    ]
+    assert split_sentences("It hit the min? Then it rose.") == [
+        "It hit the min?", "Then it rose.",
+    ]
+    # the '.' form stays protected
+    assert split_sentences("Weight was 5 kg. Then more.") == [
+        "Weight was 5 kg. Then more.",
+    ]
+
+
 def test_split_quotes_and_paragraphs():
     got = split_sentences('He said "stop." Then left.\n\nNew paragraph here')
     assert got == ['He said "stop."', "Then left.", "New paragraph here"]
