@@ -72,6 +72,34 @@ SESSION_SCHEMA = (
 _STATE_SCHEMA = "session_id long, n_events long, start_us long, end_us long"
 
 
+def fold_user_events(
+    state: tuple[int, int, int | None, int | None],
+    ts_us_sorted: list[int],
+    gap_us: int,
+) -> tuple[list[tuple[int, int, int, int]], tuple[int, int, int, int]]:
+    """Pure per-user session fold — the exact logic applyInPandasWithState
+    runs per micro-batch, factored out so the cross-batch property (fold
+    over ANY time-ordered slicing ≡ one-shot fold) is unit-testable
+    without a streaming harness.
+
+    ``state`` = (session_id, n_events, start_us, end_us) of the OPEN
+    session (session_id 0 = no state yet). Returns (closed_sessions,
+    new_open_state); closed rows are (session_id, n_events, start, end).
+    """
+    sid, n, st, en = state
+    closed: list[tuple[int, int, int, int]] = []
+    for t in ts_us_sorted:
+        t = int(t)
+        if st is None:
+            sid, n, st, en = sid + 1, 1, t, t
+        elif t - en > gap_us:
+            closed.append((sid, n, st, en))
+            sid, n, st, en = sid + 1, 1, t, t
+        else:
+            n, en = n + 1, t
+    return closed, (sid, n, st, en)
+
+
 def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Streaming twin of :func:`sessionize` — a custom stateful operator via
     ``applyInPandasWithState`` keyed by ``user_id``.
@@ -100,11 +128,8 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         import pandas as pd
 
         (user_id,) = key
-        if state.exists:
-            sid, n, st, en = state.get
-        else:
-            sid, n, st, en = 0, 0, None, None
-        rows: list[tuple[int, int, int, int, int]] = []
+        cur = state.get if state.exists else (0, 0, None, None)
+        ts_sorted: list[int] = []
         chunks = [p for p in pdfs if len(p)]
         if chunks:
             batch = pd.concat(chunks, ignore_index=True)
@@ -118,18 +143,12 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 _us=ts.astype("datetime64[ns]").astype("int64") // 1000
             )
             batch = batch.sort_values(["_us", "event_id"], kind="mergesort")
-            for t in batch["_us"]:
-                t = int(t)
-                if st is None:
-                    sid, n, st, en = 1, 1, t, t
-                elif t - en > gap_us:
-                    rows.append((user_id, sid, n, st, en))
-                    sid, n, st, en = sid + 1, 1, t, t
-                else:
-                    n, en = n + 1, t
-        if st is not None:
-            rows.append((user_id, sid, n, st, en))
-            state.update((sid, n, st, en))
+            ts_sorted = list(batch["_us"])
+        closed, cur = fold_user_events(cur, ts_sorted, gap_us)
+        rows = [(user_id, *c) for c in closed]
+        if cur[2] is not None:
+            rows.append((user_id, *cur))
+            state.update(cur)
         yield pd.DataFrame(
             rows,
             columns=["user_id", "session_id", "n_events", "start_us", "end_us"],
