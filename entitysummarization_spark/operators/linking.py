@@ -134,6 +134,10 @@ def ngd_relatedness(
             .select("src")
         )
         es = es.join(deg_ok, "src", "semi")
+    # es feeds FOUR consumers (sizes, the W universe, both self-join
+    # sides) — without persist each one re-scans the input and redoes the
+    # distinct + skew-guard shuffles (4 full scans at 100 TB)
+    es = es.persist()
     sizes = es.groupBy("entity").agg(F.count("*").cast("long").alias("sz"))
     if total is None:
         total_df = es.select(F.countDistinct("src").alias("_w"))
@@ -157,7 +161,7 @@ def ngd_relatedness(
         j = j.crossJoin(F.broadcast(total_df))
     # NGD is undefined when the smaller set covers the whole universe
     # (ln W − ln min = 0) — drop those degenerate pairs.
-    return (
+    out = (
         j.filter(F.least("sz_a", "sz_b") < F.col("_w"))
         .select(
             "ent_a",
@@ -170,7 +174,9 @@ def ngd_relatedness(
                 4,
             ).alias("sr"),
         )
-    )
+    ).localCheckpoint(eager=True)  # pair-count-sized; frees the es cache
+    es.unpersist()
+    return out
 
 
 def disambiguate(
