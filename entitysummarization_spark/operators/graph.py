@@ -18,10 +18,12 @@ short-circuiting (stop when no label changes) is available via
 ``until_fixpoint`` but off for oracle-checked runs.
 
 Scale: per iteration one shuffle (groupBy dst). Scores/labels stay
-DataFrames — nothing collects to the driver. For billion-edge graphs the
-standard refinements apply unchanged (pre-partition edges by src and
-persist, checkpoint lineage every ~10 rounds to cut plan growth — done
-here via localCheckpoint).
+DataFrames — nothing collects to the driver. Lineage is truncated every
+iteration via ``_iter_checkpoint``: reliable ``checkpoint()`` to the
+session's checkpoint dir when one is configured (survives executor loss —
+set ``spark.sparkContext.setCheckpointDir`` to a DFS path on a real
+cluster), else executor-local ``localCheckpoint`` (fine single-box; a
+lost executor would recompute from the start of the loop).
 """
 
 from __future__ import annotations
@@ -32,6 +34,16 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
+
+
+def _iter_checkpoint(df: DataFrame) -> DataFrame:
+    """Materialize + truncate lineage for one loop iteration: reliable
+    DFS checkpoint when the session has a checkpoint dir (executor-loss
+    safe), else eager localCheckpoint."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
 
 
 def _symmetric(edges: DataFrame) -> DataFrame:
@@ -74,7 +86,7 @@ def connected_components(
         )
         # labels feeds both the neighbor gather and the reassembly; eager
         # materialization per round keeps the plan linear in n_iter
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _iter_checkpoint(new_labels)
         if until_fixpoint:
             changed = (
                 new_labels.alias("n")
@@ -134,7 +146,8 @@ def pagerank(
             (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias(
                 "rank"
             ),
-        ).localCheckpoint(eager=True)
+        )
+        ranks = _iter_checkpoint(ranks)
     # final ranks are checkpoint-materialized; release the loop caches
     for cached in (contrib_e, nodes, e):
         cached.unpersist()
@@ -179,7 +192,8 @@ def hits(
             auth.agg(F.sqrt(F.sum(F.col("auth_raw") ** 2)).alias("_l2"))
         ).select(
             "node", (F.col("auth_raw") / F.col("_l2")).alias("auth")
-        ).localCheckpoint(eager=True)
+        )
+        auth_n = _iter_checkpoint(auth_n)
         # hub(u) = Σ_{u→v} w·auth(v), then L2 normalize
         hub = (
             e.join(auth_n, e.dst == F.col("node"))
@@ -190,7 +204,8 @@ def hits(
             hub.agg(F.sqrt(F.sum(F.col("hub_raw") ** 2)).alias("_l2"))
         ).select(
             "node", (F.col("hub_raw") / F.col("_l2")).alias("hub")
-        ).localCheckpoint(eager=True)
+        )
+        hub_n = _iter_checkpoint(hub_n)
         scores = (
             nodes.join(hub_n, "node", "left")
             .join(auth_n, "node", "left")
@@ -248,11 +263,12 @@ def ancestors(
         # eager checkpoint: the frontier feeds BOTH the emptiness probe
         # and two downstream references — lazy persist would re-derive
         # the whole closure chain every round (observed 332 s → ~30 s)
-        nxt = nxt.join(closure.select("node", "ancestor"), ["node", "ancestor"],
-                       "left_anti").localCheckpoint(eager=True)
+        nxt = _iter_checkpoint(
+            nxt.join(closure.select("node", "ancestor"), ["node", "ancestor"],
+                     "left_anti"))
         if len(nxt.take(1)) == 0:
             break
-        closure = closure.union(nxt).localCheckpoint(eager=True)
+        closure = _iter_checkpoint(closure.union(nxt))
         frontier = nxt
     return closure
 

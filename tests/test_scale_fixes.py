@@ -139,3 +139,36 @@ def test_topk_plans_use_take_ordered(spark):
     assert [r["rnk"] for r in sorted(jac, key=lambda r: r["rnk"])] == [1, 2, 3]
     cos = tfidf.tfidf_cosine_pairs(docs, top_k=3).collect()
     assert [r["rnk"] for r in sorted(cos, key=lambda r: r["rnk"])] == [1, 2, 3]
+
+
+def test_reliable_checkpoint_engages_with_checkpoint_dir(spark, tmp_path):
+    """With a checkpoint dir configured (the real-cluster setting),
+    iterative ops truncate lineage via reliable checkpoint() — files land
+    under the dir and results are identical to the local-checkpoint path."""
+    import os
+
+    from entitysummarization_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    baseline = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        got = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=5).collect()}
+        assert got == baseline
+        written = [
+            f for root, _, files in os.walk(ckdir) for f in files
+        ]
+        assert written, "no reliable checkpoint files were written"
+    finally:
+        # clear it — the session-scoped spark fixture is shared and other
+        # tests expect the local-checkpoint path (Option.apply(null) = None)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert sc.getCheckpointDir() is None
