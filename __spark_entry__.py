@@ -270,6 +270,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprint(spark, sf):
         return textstats.fingerprint(_load(spark, sf, "documents"))
 
+    def json_props(spark, sf):
+        # semi-structured metadata extraction (training-data pipelines carry
+        # per-record JSON sidecars): schema-on-read via from_json — stays in
+        # whole-stage codegen, pushes the ts/value scan columns down
+        ev = _load(spark, sf, "events")
+        k = F.from_json(F.col("props"), "k int")["k"]
+        return (
+            ev.select("event_type", k.alias("k"), "value")
+            .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                # value has 2 decimals — integer-cent sum keeps the average
+                # engine-exact (float summation order would flip the 4th
+                # rounded decimal on half-way cases)
+                F.round(
+                    F.sum(F.round(F.col("value") * 100).cast("long"))
+                    / (100.0 * F.count("*")), 4,
+                ).alias("avg_value"),
+            )
+        )
+
     def kg_mentions(spark, sf):
         docs = _load(spark, sf, "documents")
         m = detect_mentions(spark, docs, [s for s, _ in LEXICON])
@@ -472,6 +493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "quality": quality,
         "token_stats": token_stats,
+        "json_props": json_props,
         "fingerprint": fingerprint,
         "kg_mentions": kg_mentions,
         "w7_pmi_labels": w7_pmi_labels,
@@ -891,6 +913,14 @@ def oracle_sql() -> dict[str, str]:
                    round(len(array_to_string(t, '')) * 1.0
                          / greatest(len(t), 1), 4) AS avg_token_len
             FROM (SELECT doc_id, {toks} AS t FROM documents)
+        """,
+        "json_props": """
+            SELECT event_type,
+                   (json_extract(props, '$.k')::INT % 10)::INT AS k_mod,
+                   count(*)::BIGINT AS n,
+                   round(sum(round(value * 100)::BIGINT)
+                         / (100.0 * count(*)), 4) AS avg_value
+            FROM events GROUP BY 1, 2
         """,
         "fingerprint": f"""
             SELECT doc_id,
