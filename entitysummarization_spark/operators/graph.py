@@ -63,8 +63,9 @@ def connected_components(
     min node id reachable within ``n_iter`` hops (= the true component
     once n_iter ≥ graph diameter).
 
-    One shuffle per round; labels localCheckpoint'ed every 8 rounds so
-    the lineage (and task closure) stays bounded on long runs.
+    One shuffle per round; labels are checkpointed each round
+    (``_iter_checkpoint``) so the lineage and task closure stay bounded
+    on long runs.
     """
     sym = _symmetric(edges).persist()
     nodes = sym.select(F.col("src").alias("node")).distinct()
@@ -217,10 +218,10 @@ def hits(
         )
     # materialize the (node-sized) result so the loop caches can be freed
     # and downstream consumers (top-k legs re-reading it twice) stay cheap
-    out = scores.select(
+    out = _iter_checkpoint(scores.select(
         "node", F.round("hub", round_to).alias("hub"),
         F.round("auth", round_to).alias("auth"),
-    ).localCheckpoint(eager=True)
+    ))
     nodes.unpersist()
     e.unpersist()
     return out
@@ -237,14 +238,16 @@ def ancestors(
     Iterative frontier self-join — #rounds = taxonomy depth (the reference
     caps it via `categoryhierarchyLevel`, PatternMatchingMachine.java:2417).
     """
-    base = child_parent.select(
-        F.col("child").alias("node"), F.col("parent").alias("ancestor")
-    ).distinct().withColumn("depth", F.lit(1)).localCheckpoint(eager=True)
+    base = _iter_checkpoint(
+        child_parent.select(
+            F.col("child").alias("node"), F.col("parent").alias("ancestor")
+        ).distinct().withColumn("depth", F.lit(1)))
     closure = base
     frontier = base
-    step = child_parent.select(
-        F.col("child").alias("_c"), F.col("parent").alias("_p")
-    ).distinct().localCheckpoint(eager=True)
+    step = _iter_checkpoint(
+        child_parent.select(
+            F.col("child").alias("_c"), F.col("parent").alias("_p")
+        ).distinct())
     for _ in range(max_depth - 1):
         nxt = (
             frontier.join(step, frontier.ancestor == step._c)
