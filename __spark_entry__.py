@@ -27,8 +27,22 @@ EN_STOP_SQL = "('the','a','an','and','or','of','to','in','is','are','was','were'
 
 _TOKS_SQL = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
-# sf_dir → cached symlink directory for the streaming file source
+# sf_dir → cached symlink directory for the streaming file source,
+# removed at interpreter exit (one tmp dir per sf per driver process)
 _STREAM_DIRS: dict[str, str] = {}
+
+
+def _cleanup_stream_dirs() -> None:
+    import shutil
+
+    for d in _STREAM_DIRS.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STREAM_DIRS.clear()
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_stream_dirs)
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -39,6 +39,9 @@ _CALL_RE = re.compile(r"([A-Za-z_][\w.]*)\.(\w+)\(")
 
 STOP_IMPORTS = frozenset({"__future__", "sys", "os"})
 
+# (applicationId, patterns, surface→name) → broadcast (automaton, map)
+_EXTRACT_BROADCASTS: dict[tuple, object] = {}
+
 
 def _valid_name(obj: str) -> bool:
     """F6 name-validity analog: length ≥3, not numeric, sane leading char."""
@@ -107,12 +110,21 @@ def extract_triples(
     if vocab is not None:
         sub = vocab[vocab["attr"] <= mention_max_attr]
         patterns = [" ".join(tokenize(s)) for s in sub["surface"]]
-        ac = AhoCorasick(patterns)
-        s2n = dict(zip((" ".join(tokenize(s)) for s in sub["surface"]),
-                       sub["entity_name"]))
+        s2n = dict(zip(patterns, sub["entity_name"]))
+        # cached per (SparkContext, lexicon): the vocabulary is a dim —
+        # rebuilding + re-broadcasting the automaton per call charges the
+        # driver-side build to every query invocation (see linking.py)
+        key = (spark.sparkContext.applicationId,
+               tuple(patterns), tuple(sorted(s2n.items())))
+        bc = _EXTRACT_BROADCASTS.get(key)
+        if bc is None:
+            stale = [k for k in _EXTRACT_BROADCASTS if k[0] != key[0]]
+            for k in stale:
+                _EXTRACT_BROADCASTS.pop(k, None)
+            bc = spark.sparkContext.broadcast((AhoCorasick(patterns), s2n))
+            _EXTRACT_BROADCASTS[key] = bc
     else:
-        ac, s2n = None, None
-    bc = spark.sparkContext.broadcast((ac, s2n))
+        bc = spark.sparkContext.broadcast((None, None))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, m = bc.value

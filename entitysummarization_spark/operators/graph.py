@@ -24,6 +24,12 @@ session's checkpoint dir when one is configured (survives executor loss —
 set ``spark.sparkContext.setCheckpointDir`` to a DFS path on a real
 cluster), else executor-local ``localCheckpoint`` (fine single-box; a
 lost executor would recompute from the start of the loop).
+
+Checkpoint disk growth: each loop round writes a NEW reliable checkpoint;
+Spark only deletes superseded ones when
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set by
+session.get_spark; default false). A 10-round job otherwise leaves
+O(n_iter × dataset) in the checkpoint dir until the app exits.
 """
 
 from __future__ import annotations

@@ -3,11 +3,14 @@
 The reference computes term frequency over category names plus a
 Lucene-backed doc-frequency idf (PatternMatchingMachine.java:4499-4522,
 4478-4498) and cosine similarity of the resulting sparse vectors
-(:4363-4396). Spark-first: one groupBy for tf, one for df, a broadcast of
-the (tiny) df dim, and a shared-word self-join for pairwise cosine — the
+(:4363-4396). Spark-first: one groupBy for tf, one for df, an unhinted
+tf⋈df join (AQE broadcasts it while the vocabulary is small, shuffles
+when it isn't), and a shared-word self-join for pairwise cosine — the
 sparse-vector dot product IS the join+sum, no vectors materialized.
 
-Scale: df table is vocabulary-sized (broadcast); the cosine pair join is
+Scale: df is vocabulary-sized — corpus-scaled for an open token stream,
+so it is never force-broadcast (only genuinely bounded dims like the
+topic-count matrix in tfidf_weight_matrix are); the cosine pair join is
 bounded by shared words (cap ubiquitous words with max_df, the F12
 link-cap discipline) — never an all-pairs cross product.
 """
@@ -38,8 +41,14 @@ def tfidf(
     )
     df = tf.groupBy("word").agg(F.count("*").cast("long").alias("df"))
     n_docs = docs.select(F.col(id_col)).distinct().count()
+    # NO broadcast hint on df: for category names it is a dim, but over an
+    # open 100-TB corpus the distinct-token df table is corpus-sized
+    # (billions of rows) and a forced broadcast OOMs the driver. Both sides
+    # are already hash-partitioned on `word` by their groupBys, so AQE
+    # plans this shuffle-free when co-partitioned and auto-broadcasts
+    # while the vocabulary is genuinely small.
     return (
-        tf.join(F.broadcast(df), "word")
+        tf.join(df, "word")
         .select(
             "doc_id",
             "word",

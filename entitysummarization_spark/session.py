@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # iterative operators (pagerank/CC/ancestors/Gibbs) write a reliable
+        # checkpoint() per loop round when a checkpoint dir is configured;
+        # without this flag old checkpoint files are never deleted and a
+        # long run accumulates O(n_iter × dataset) in the checkpoint dir
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # broadcast threshold: our dictionaries are a few MB; default 10MB ok,

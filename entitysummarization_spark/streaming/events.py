@@ -135,7 +135,11 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             batch = pd.concat(chunks, ignore_index=True)
             ts = batch["ts"]
             if getattr(ts.dt, "tz", None) is not None:
-                ts = ts.dt.tz_localize(None)
+                # convert to UTC BEFORE dropping the zone: bare tz_localize
+                # keeps the local wall-clock digits, so under a non-UTC
+                # session timezone the epoch math would diverge from the
+                # batch path's unix_micros by the UTC offset
+                ts = ts.dt.tz_convert("UTC").tz_localize(None)
             # normalize to ns first: Arrow hands Spark UDFs datetime64[ns],
             # but parquet read via pandas yields datetime64[us] — a bare
             # astype(int64) would be off by 1000× depending on the source

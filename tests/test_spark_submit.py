@@ -24,11 +24,24 @@ def test_spark_submit_py_files_deployment(tmp_path):
     pkg_zip = tmp_path / "esum_spark.zip"
     pkg_root = os.path.join(REPO, "entitysummarization_spark")
     with zipfile.ZipFile(pkg_zip, "w") as zf:
-        for root, _, files in os.walk(pkg_root):
+        for root, dirs, files in os.walk(pkg_root):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
             for f in files:
-                if f.endswith(".py"):
+                # ship everything except bytecode — package data (resource
+                # files, py.typed) must reach the cluster too, so the zip
+                # mirrors the real package, not just *.py
+                if not f.endswith((".pyc", ".pyo")):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, REPO))
+    shipped = {n for n in zipfile.ZipFile(pkg_zip).namelist()}
+    on_disk = {
+        os.path.relpath(os.path.join(r, f), REPO)
+        for r, ds, fs in os.walk(pkg_root)
+        if "__pycache__" not in r
+        for f in fs
+        if not f.endswith((".pyc", ".pyo"))
+    }
+    assert shipped == on_disk
 
     script_dir = tmp_path / "scripts"
     script_dir.mkdir()
