@@ -478,7 +478,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.lsh_bucketed_topk(emb, dim=64, k=5)
 
     def kg_pipeline_summaries(spark, sf):
-        # rows-only: full pipeline on the deterministic repos fixture
+        # oracle-checked (golden VALUES): the full 4-partition pipeline on
+        # the deterministic repos fixture is bit-identical to the
+        # independent pandas/NumPy AD-LDA oracle
+        # (models/pipeline_oracle.py) — its expected summaries are inlined
+        # as the DuckDB oracle, so this is a rows+schema+hash gate, not a
+        # rows-only one
         from entitysummarization_spark.fixtures import make_fixture
         from entitysummarization_spark.plans.pipeline import run_pipeline
 
@@ -488,6 +493,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_sweeps=3, k=3, n_partitions=4,
         )
         return res.summaries
+
+    def kg_pipeline_invariants(spark, sf):
+        # hard invariants over the SAME pipeline run: dense 1..k ranks,
+        # summary count = min(k, n_facts) per doc, provenance joins back to
+        # canon, score = round(θ·φ, 8), full θ row-sums ≈ 1 within the
+        # 4-decimal rounding budget. Violation counts must all be zero.
+        from entitysummarization_spark.fixtures import make_fixture
+        from entitysummarization_spark.plans.pipeline import run_pipeline
+
+        fx = make_fixture(n_files=60, seed=42)
+        res = run_pipeline(
+            spark, spark.createDataFrame(fx.repos), vocab=fx.vocab,
+            n_sweeps=3, k=3, n_partitions=4,
+        )
+        summ = res.summaries.persist()
+        n_rows = summ.count()
+        per_doc = summ.groupBy("doc_id").agg(
+            F.count("*").cast("int").alias("n"),
+            F.sort_array(F.collect_list("rank")).alias("ranks"),
+        )
+        n_docs = per_doc.count()
+        bad_rank_docs = per_doc.filter(
+            F.col("ranks") != F.sequence(F.lit(1), F.col("n"))
+        ).count()
+        n_facts = res.corpus.facts.groupBy("doc_id").agg(
+            F.count("*").cast("int").alias("nf")
+        )
+        bad_count_docs = per_doc.join(n_facts, "doc_id", "full").filter(
+            F.coalesce("n", F.lit(0)) != F.least(F.lit(3), F.coalesce("nf", F.lit(0)))
+        ).count()
+        orphan_rows = summ.join(
+            res.canon, ["subj", "pred", "obj"], "left_anti"
+        ).count()
+        bad_score_rows = summ.filter(
+            F.round(F.col("theta") * F.col("phi"), 8) != F.col("score")
+        ).count()
+        g = res.gibbs
+        P, a = g.cfg.n_preds, g.cfg.alpha_eff
+        nd = g.state.select("doc_id", F.size("words").alias("nd"))
+        obs = g.theta().groupBy("doc_id").agg(
+            F.sum("theta").alias("s_obs"), F.count("*").alias("n_obs")
+        )
+        # unobserved (npd=0) cells all round to the same value per doc
+        rowsum = obs.join(nd, "doc_id").select(
+            "doc_id",
+            (F.col("s_obs")
+             + (F.lit(P) - F.col("n_obs"))
+             * F.round(F.lit(a) / (F.col("nd") + F.lit(P * a)), 4)
+             ).alias("row_sum"),
+        )
+        bad_theta_docs = rowsum.filter(
+            F.abs(F.col("row_sum") - 1.0) > P * 1e-4
+        ).count()
+        summ.unpersist()
+        return spark.createDataFrame(
+            [(n_docs, n_rows, bad_rank_docs, bad_count_docs, orphan_rows,
+              bad_score_rows, bad_theta_docs)],
+            "n_docs long, n_summary_rows long, bad_rank_docs long,"
+            " bad_count_docs long, orphan_rows long, bad_score_rows long,"
+            " bad_theta_docs long",
+        )
 
     return {
         "a1_word_freq": a1_word_freq,
@@ -531,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "simhash": simhash,
         "kg_pipeline_summaries": kg_pipeline_summaries,
+        "kg_pipeline_invariants": kg_pipeline_invariants,
     }
 
 
@@ -1188,10 +1255,29 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "per_doc_core": _per_doc_core_sql(),
         "simhash": _simhash_md5_sql(),
-        # kg_pipeline_summaries: rows-only (multi-sweep collapsed Gibbs —
-        # genuinely non-SQL-expressible); pytest-verified against the NumPy
-        # oracle (1-partition bit-parity) and the NDCG rank gate.
     }
+    # kg_pipeline_summaries: the multi-sweep collapsed Gibbs is not
+    # SQL-expressible, but it IS deterministic — the golden oracle is the
+    # independent single-process pandas/NumPy pipeline implementation
+    # (models/pipeline_oracle.py: same murmur3 partition assignment, same
+    # AD-LDA sweep semantics, same rounding discipline), inlined as VALUES.
+    # Multi-partition bit-parity is additionally pytest-gated
+    # (tests/test_pipeline_oracle.py).
+    from entitysummarization_spark.models.pipeline_oracle import (
+        pipeline_oracle,
+        summaries_values_sql,
+    )
+
+    po = pipeline_oracle(n_files=60, seed=42, n_sweeps=3, k=3, n_partitions=4)
+    out["kg_pipeline_summaries"] = summaries_values_sql(po["summaries"])
+    s = po["summaries"]
+    out["kg_pipeline_invariants"] = f"""
+        SELECT {s["doc_id"].nunique()}::BIGINT AS n_docs,
+               {len(s)}::BIGINT AS n_summary_rows,
+               0::BIGINT AS bad_rank_docs, 0::BIGINT AS bad_count_docs,
+               0::BIGINT AS orphan_rows, 0::BIGINT AS bad_score_rows,
+               0::BIGINT AS bad_theta_docs
+    """
     # the stateful-streaming sessionizer must converge to the exact batch
     # sessionization, so it shares its oracle
     out["stateful_sessions"] = out["sessions"]

@@ -106,7 +106,18 @@ class GibbsOracle:
         base_seed: int = 7,
         doc_nbrs: dict[int, list[int]] | None = None,
         epsilon: float = 0.9,
+        n_partitions: int = 1,
+        partition_of=None,
     ):
+        """``n_partitions`` > 1 simulates the distributed AD-LDA sweep
+        exactly (gibbs.py): each partition sweeps its docs (ascending
+        doc_id) against a LOCAL copy of the pre-sweep global counts, then
+        the global counts are recomputed from the merged z-state.
+        ``partition_of(doc_id) -> pid`` defaults to Spark's
+        ``repartition(n, "doc_id")`` assignment
+        (functions.murmur3.partition_of_long), so an n-partition
+        DistributedGibbs run is bit-identical to this oracle — the hard
+        multi-partition parity signal behind kg_pipeline_summaries."""
         self.P, self.W = n_preds, n_words
         self.alpha = alpha if alpha is not None else 50.0 / n_preds
         self.beta = beta
@@ -116,6 +127,12 @@ class GibbsOracle:
             {d: sorted(v) for d, v in doc_nbrs.items()} if doc_nbrs else None
         )
         self.epsilon = epsilon
+        self.n_partitions = n_partitions
+        if partition_of is None and n_partitions > 1:
+            from ..functions.murmur3 import partition_of_long
+
+            partition_of = lambda d: partition_of_long(d, n_partitions)  # noqa: E731
+        self.partition_of = partition_of
         self.alpha_vec: dict[int, np.ndarray] = {}
         self.lam = lam if lam is not None else np.ones((n_preds, n_words))
         self.sum_lam_beta = self.lam.sum(axis=1) * beta  # intended A5 row sum
@@ -162,39 +179,63 @@ class GibbsOracle:
             self.alpha_vec[d] = alpha_from_neighbors(nbrs, self.P, a, self.epsilon)
 
     def sweep(self, sweep_idx: int) -> None:
+        """One sweep. Sequential (1 partition) and AD-LDA (k partitions)
+        are the same code path: every partition sweeps against a local
+        copy of the pre-sweep global counts, then the global counts are
+        rebuilt exactly from the merged z-state — with one partition the
+        local copy IS the running global state, so this is bit-identical
+        to the original sequential loop."""
         s = self.state
         P, a, b = self.P, self.alpha, self.beta
         if self.doc_nbrs is not None:
             self.refresh_alpha()
+        if self.partition_of is not None:
+            parts: dict[int, list[int]] = {}
+            for d in s.doc_ids:  # ascending → ascending within partition
+                parts.setdefault(self.partition_of(d), []).append(d)
+            groups = [parts[p] for p in sorted(parts)]
+        else:
+            groups = [list(s.doc_ids)]
+        snap_nwp, snap_np = s.nwp, s.np_
+        for docs in groups:
+            nwp = snap_nwp.copy()
+            np_ = snap_np.copy()
+            for d in docs:
+                rng = rng_for(self.base_seed, sweep_idx, d)
+                ws, zs, nd = s.tokens[d], s.z[d], s.npd[d]
+                ndoc = len(ws)
+                if self.doc_nbrs is not None:
+                    av = self.alpha_vec[d]
+                    a_of = lambda c: av[c]          # noqa: E731
+                    a_sum = float(av.sum())
+                else:
+                    a_of = lambda c: a              # noqa: E731
+                    a_sum = P * a
+                for i in range(ndoc):
+                    w, p_old = int(ws[i]), int(zs[i])
+                    nd[p_old] -= 1
+                    nwp[p_old, w] -= 1
+                    np_[p_old] -= 1
+                    c = self.cand[w]
+                    probs = (
+                        (nd[c] + a_of(c)) / (ndoc - 1 + a_sum)
+                        * (nwp[c, w] + self.lam[c, w] * b)
+                        / (np_[c] + self.sum_lam_beta[c])
+                    )
+                    cdf = np.cumsum(probs)
+                    u = rng.rand() * cdf[-1]
+                    p_new = int(c[int(np.searchsorted(cdf, u, side="right").clip(0, len(c) - 1))])
+                    zs[i] = p_new
+                    nd[p_new] += 1
+                    nwp[p_new, w] += 1
+                    np_[p_new] += 1
+        # exact global refresh from the merged z-state (gibbs.py
+        # _refresh_global_counts analog)
+        nwp_g = np.zeros((P, self.W), dtype=np.int64)
         for d in s.doc_ids:
-            rng = rng_for(self.base_seed, sweep_idx, d)
-            ws, zs, nd = s.tokens[d], s.z[d], s.npd[d]
-            ndoc = len(ws)
-            if self.doc_nbrs is not None:
-                av = self.alpha_vec[d]
-                a_of = lambda c: av[c]          # noqa: E731
-                a_sum = float(av.sum())
-            else:
-                a_of = lambda c: a              # noqa: E731
-                a_sum = P * a
-            for i in range(ndoc):
-                w, p_old = int(ws[i]), int(zs[i])
-                nd[p_old] -= 1
-                s.nwp[p_old, w] -= 1
-                s.np_[p_old] -= 1
-                c = self.cand[w]
-                probs = (
-                    (nd[c] + a_of(c)) / (ndoc - 1 + a_sum)
-                    * (s.nwp[c, w] + self.lam[c, w] * b)
-                    / (s.np_[c] + self.sum_lam_beta[c])
-                )
-                cdf = np.cumsum(probs)
-                u = rng.rand() * cdf[-1]
-                p_new = int(c[int(np.searchsorted(cdf, u, side="right").clip(0, len(c) - 1))])
-                zs[i] = p_new
-                nd[p_new] += 1
-                s.nwp[p_new, w] += 1
-                s.np_[p_new] += 1
+            np.add.at(nwp_g, (s.z[d], s.tokens[d]), 1)
+        s.nwp = nwp_g
+        s.np_ = nwp_g.sum(axis=1)
 
     def run(self, n_sweeps: int) -> None:
         for t in range(n_sweeps):
