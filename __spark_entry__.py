@@ -404,6 +404,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def g4_connected_components(spark, sf):
         return graph.connected_components(_edges_x3(spark, sf), n_iter=25)
 
+    def g4_cc_star(spark, sf):
+        # corpus-scale path: alternating large-star/small-star (O(log n)
+        # rounds vs min-label's O(diameter)) — same true-CC oracle
+        return graph.connected_components_star(_edges_x3(spark, sf))
+
     def g7_pagerank(spark, sf):
         return graph.pagerank(_edges_x3(spark, sf), n_iter=10)
 
@@ -586,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g14_tfidf_cosine_capped": g14_tfidf_cosine_capped,
         "f6_valid_names": f6_valid_names,
         "g4_connected_components": g4_connected_components,
+        "g4_cc_star": g4_cc_star,
         "g7_pagerank": g7_pagerank,
         "g5_hits": g5_hits,
         "w3_core_nodes": w3_core_nodes,
@@ -1269,6 +1275,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     po = pipeline_oracle(n_files=60, seed=42, n_sweeps=3, k=3, n_partitions=4)
+    # star CC converges to the same true components the recursive CTE
+    # computes — identical oracle
+    out["g4_cc_star"] = out["g4_connected_components"]
     out["kg_pipeline_summaries"] = summaries_values_sql(po["summaries"])
     s = po["summaries"]
     out["kg_pipeline_invariants"] = f"""

@@ -113,6 +113,91 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame,
+    max_iter: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star CC (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — public) — the
+    corpus-scale path: O(log n) rounds instead of min-label propagation's
+    O(diameter) (``connected_components``, kept for per-doc graphs and
+    the unrolled-SQL oracle).
+
+    Per round: large-star hangs every strictly-larger neighbor of each
+    node onto its neighborhood minimum, small-star re-points every
+    smaller neighbor (and the center) at the minimum of the oriented
+    star. Both are one groupBy + one join; edges only ever shrink toward
+    (node → component-min) pointers, so a long chain collapses
+    geometrically. Convergence = edge set unchanged (exact exceptAll
+    probe, limit-1 so it short-circuits). Same output contract as
+    ``connected_components``: (node, component = min reachable node id),
+    one row per endpoint of the input edge list.
+
+    ``stats``, when given, receives {"rounds": n} — how many star rounds
+    ran before the fixpoint (the long-chain test asserts this is
+    logarithmic, not linear).
+    """
+    sym_all = _symmetric(edges)
+    # nodes from the UNfiltered list so self-loop-only nodes still get a
+    # (node, node) label — same contract as connected_components
+    nodes = sym_all.select(F.col("src").alias("node")).distinct().persist()
+    nodes.count()  # materialize before the loop rewrites `e`
+    sym0 = sym_all.filter(F.col("src") != F.col("dst")).persist()
+    e = sym0
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        sym_e = e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        # large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+        mn = sym_e.groupBy("src").agg(
+            F.min(F.least(F.col("src"), F.col("dst"))).alias("m")
+        )
+        e_l = (
+            sym_e.filter(F.col("dst") > F.col("src"))
+            .join(mn, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star on the oriented (src > dst) set: re-point every
+        # smaller neighbor and the center at the star's minimum
+        mn2 = e_l.groupBy("src").agg(F.min("dst").alias("m"))
+        e_s = (
+            e_l.join(mn2, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(mn2.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        e_s = _iter_checkpoint(e_s)
+        changed = (
+            e_s.exceptAll(e).union(e.exceptAll(e_s)).limit(1).count()
+            if rounds > 1
+            else 1
+        )
+        e = e_s
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # at the fixpoint every edge is (node → component-min); roots and
+    # isolated endpoints label themselves
+    lab = e.groupBy("src").agg(F.min("dst").alias("component"))
+    labels = (
+        nodes.join(lab, nodes.node == lab.src, "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+    labels = labels.localCheckpoint(eager=True)
+    sym0.unpersist()
+    nodes.unpersist()
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 10,

@@ -2,16 +2,21 @@
 with typed metadata.
 
 The Spark-side mechanics are real and tested — schema, Arrow batch shape,
-partitioning, mapInPandas signatures. The actual media decode is STUBBED
-(Pillow/librosa/ffmpeg are not in this container): ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (shape + checksum derived from the bytes)
-stands in so the distributed plumbing is exercised end-to-end.
+partitioning, mapInPandas signatures. Media decode is CAPABILITY-GATED
+(round-2 verdict item 8): each kind probes its decoder at runtime —
+Pillow for images, the stdlib ``wave`` reader for WAV audio (always
+available), ffmpeg for video — and ``mode="auto"`` uses the real decoder
+when present, falling back to the deterministic fake otherwise, so the
+same pipeline runs in this container (audio real, image/video faked) and
+lights up fully where the libs exist. ``mode="real"`` refuses to start
+when a needed decoder is missing; ``mode="fake"`` is the fully
+deterministic test path.
 """
 
 from __future__ import annotations
 
 import hashlib
+import shutil
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,8 +29,85 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "media_id long, kind string, width int, height int, n_frames int, "
-    "checksum string"
+    "checksum string, decoder string"
 )
+
+KINDS = ("image", "audio", "video")
+
+
+def decoder_available(kind: str) -> bool:
+    """Runtime probe for the real decoder of one media kind. Call-site
+    cheap (import probe / PATH lookup); used driver-side for the
+    ``mode="real"`` precondition and executor-side for ``mode="auto"``."""
+    if kind == "image":
+        try:
+            import PIL.Image  # noqa: F401
+
+            return True
+        except ImportError:
+            return False
+    if kind == "audio":
+        return True  # stdlib wave reader
+    if kind == "video":
+        return shutil.which("ffprobe") is not None
+    return False
+
+
+def _real_decode(payload: bytes, kind: str) -> dict:
+    """Decode with the real library for ``kind``. Raises on malformed
+    payloads or missing decoders — callers gate with decoder_available."""
+    h = hashlib.sha256(payload).hexdigest()[:16]
+    if kind == "image":
+        import io
+
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            return {
+                "width": int(im.width), "height": int(im.height),
+                "n_frames": int(getattr(im, "n_frames", 1)),
+                "checksum": h, "decoder": "pillow",
+            }
+    if kind == "audio":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            return {
+                "width": 0, "height": 0,
+                "n_frames": int(w.getnframes()),
+                "checksum": h, "decoder": "wave",
+            }
+    if kind == "video":
+        import json as _json
+        import subprocess
+
+        out = subprocess.run(
+            ["ffprobe", "-v", "quiet", "-print_format", "json",
+             "-show_streams", "-"],
+            input=payload, capture_output=True, check=True,
+        )
+        streams = _json.loads(out.stdout)["streams"]
+        v = next(s for s in streams if s.get("codec_type") == "video")
+        return {
+            "width": int(v.get("width", 0)),
+            "height": int(v.get("height", 0)),
+            "n_frames": int(v.get("nb_frames", 0) or 0),
+            "checksum": h, "decoder": "ffprobe",
+        }
+    raise ValueError(f"unknown media kind {kind!r}")
+
+
+def _fake_decode(payload: bytes, kind: str) -> dict:
+    """Deterministic stand-in: dimensions derived from the payload hash."""
+    h = hashlib.sha256(payload).digest()
+    return {
+        "width": 64 + h[0] % 192 if kind != "audio" else 0,
+        "height": 64 + h[1] % 192 if kind != "audio" else 0,
+        "n_frames": 1 if kind == "image" else 1 + h[2] % 300,
+        "checksum": h.hex()[:16],
+        "decoder": "fake",
+    }
 
 
 def make_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
@@ -33,52 +115,75 @@ def make_media_table(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
     rows = []
     for i in range(n):
         payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
-        kind = ["image", "audio", "video"][i % 3]
+        kind = KINDS[i % 3]
         mime = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind]
         rows.append((i, kind, bytearray(payload), mime, len(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes, kind: str) -> dict:
-    """Deterministic stand-in for the real decoder: dimensions derived from
-    the payload hash. REPLACE with Pillow/librosa/ffmpeg in production."""
-    h = hashlib.sha256(payload).digest()
-    return {
-        "width": 64 + h[0] % 192 if kind != "audio" else 0,
-        "height": 64 + h[1] % 192 if kind != "audio" else 0,
-        "n_frames": 1 if kind == "image" else 1 + h[2] % 300,
-        "checksum": h.hex()[:16],
-    }
-
-
-def extract_media_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def extract_media_features(
+    media: DataFrame, fake: bool | None = None, mode: str | None = None
+) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow moves binary columns zero-copy into pandas; batches keep media
-    whole (a payload never splits). Real decode is gated:
-    fake=False → NotImplementedError (decoder libs not present).
+    whole (a payload never splits). Decode path per ``mode``:
+      - "fake": deterministic stand-in for every row (test/oracle path);
+      - "real": real decoders only — raises NotImplementedError up front
+        if any kind present lacks its decoder on the driver (the honest
+        "this container can't do that" signal);
+      - "auto" (default): per-kind — real decoder where available on the
+        EXECUTOR, fake otherwise; the ``decoder`` output column records
+        which path each row took.
+
+    ``fake=True/False`` is the legacy spelling of mode="fake"/"real".
     """
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires Pillow/librosa/ffmpeg — not available in "
-            "this container; pass fake=True to exercise the plumbing"
-        )
+    if mode is None:
+        mode = "auto" if fake is None else ("fake" if fake else "real")
+    if mode not in ("fake", "real", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if mode == "real":
+        missing = [k for k in KINDS if not decoder_available(k)]
+        if missing:
+            raise NotImplementedError(
+                f"real media decode requires decoders for {missing} "
+                "(Pillow / ffprobe) — not available here; use mode='auto' "
+                "to fall back to the deterministic fake per kind"
+            )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        use_real = {
+            k: (mode != "fake") and decoder_available(k) for k in KINDS
+        }
         for b in batches:
-            feats = [_fake_decode(bytes(p), k) for p, k in zip(b["payload"], b["kind"])]
+            feats = []
+            for p, k in zip(b["payload"], b["kind"]):
+                p = bytes(p)
+                if use_real.get(k):
+                    try:
+                        feats.append(_real_decode(p, k))
+                        continue
+                    except Exception:
+                        if mode == "real":
+                            raise
+                        # auto: malformed payload → deterministic fake
+                        # (production would route to a quarantine sink)
+                feats.append(_fake_decode(p, k))
             out = pd.DataFrame(feats)
             out.insert(0, "kind", b["kind"].values)
             out.insert(0, "media_id", b["media_id"].values)
-            yield out[["media_id", "kind", "width", "height", "n_frames", "checksum"]]
+            yield out[
+                ["media_id", "kind", "width", "height", "n_frames",
+                 "checksum", "decoder"]
+            ]
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: explode frame indices JVM-side so the
-    (stubbed) per-frame decode is already distributed and partition-sized;
-    the decode UDF slots into the exploded rows."""
+    (capability-gated) per-frame decode is already distributed and
+    partition-sized; the decode UDF slots into the exploded rows."""
     videos = media.filter(F.col("kind") == "video")
     return videos.select(
         "media_id",

@@ -167,6 +167,170 @@ def stateful_sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+WM_SESSION_SCHEMA = SESSION_SCHEMA + ", final boolean, emit_seq long"
+_WM_STATE_SCHEMA = (
+    "next_sid long, emit_seq long, pending_us array<long>"
+)
+
+
+def fold_pending(
+    pending_sorted: list[int],
+    wm_us: int,
+    gap_us: int,
+    next_sid: int,
+) -> tuple[list[tuple], list[tuple], list[int], int]:
+    """Pure watermark-reconciliation core of
+    :func:`stateful_sessionize_watermarked`, factored out so the
+    late-data property (any watermark-respecting slicing ≡ batch
+    sessionize) is testable without a streaming harness.
+
+    ``pending_sorted`` = every buffered event time (µs) not yet part of a
+    finalized session, merged with the current batch and sorted. Sessions
+    are recomputed over the buffer each call — that is what makes a LATE
+    (out-of-order, but within-watermark) event land correctly: it can
+    extend a provisional session or merge two of them, because nothing it
+    could touch has been finalized yet. A session is FINAL only once no
+    in-watermark event can still merge into it: end_us < wm_us − gap_us
+    (merging needs t − end ≤ gap and any future t ≥ wm).
+
+    Returns (final_rows, provisional_rows, new_pending, new_next_sid);
+    rows are (session_id, n_events, start_us, end_us). Final session ids
+    are assigned in time order as sessions finalize, so they equal the
+    batch path's 1..n numbering.
+    """
+    sessions: list[list[int]] = []  # [n, start, end, first_idx, last_idx]
+    for i, t in enumerate(pending_sorted):
+        t = int(t)
+        if not sessions or t - sessions[-1][2] > gap_us:
+            sessions.append([1, t, t, i, i])
+        else:
+            s = sessions[-1]
+            s[0] += 1
+            s[2] = t
+            s[4] = i
+    final_rows, provisional_rows = [], []
+    new_pending = pending_sorted
+    sid = next_sid
+    cut = 0
+    for s in sessions:
+        if s[2] < wm_us - gap_us:
+            final_rows.append((sid, s[0], s[1], s[2]))
+            cut = s[4] + 1
+            sid += 1
+        else:
+            provisional_rows.append((sid + len(provisional_rows), s[0], s[1], s[2]))
+    if cut:
+        new_pending = pending_sorted[cut:]
+    return final_rows, provisional_rows, list(new_pending), sid
+
+
+def stateful_sessionize_watermarked(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Late-data-safe streaming sessionization: watermark + reconciliation
+    (the round-2 verdict's item 7 — :func:`stateful_sessionize` assumes
+    per-user time-ordered delivery; this variant does not).
+
+    Semantics: events may arrive out of order across micro-batches up to
+    the ``watermark`` delay. Per-user state buffers every event time still
+    inside the reconciliation horizon (anything newer than
+    watermark − gap); sessions are recomputed over the buffer each batch,
+    so a late event extends or MERGES provisional sessions correctly. A
+    session is emitted ``final = true`` exactly once, when the watermark
+    guarantees no in-horizon event can join it; until then emissions are
+    provisional (``final = false``) corrections. Event-time timeout flushes
+    users whose stream went quiet (their state wakes when the watermark
+    passes end + gap). Reduce with :func:`final_sessions_watermarked`.
+
+    Scale shape: state per ACTIVE user = one int pair + the event times of
+    at most the trailing (gap + watermark-delay) window — bounded by the
+    late-data horizon, not by history; finalized events leave the buffer.
+    Events older than the watermark are dropped by Spark before the state
+    op (standard watermark contract).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        next_sid, emit_seq, pending = (
+            state.get if state.exists else (1, 0, [])
+        )
+        pending = list(pending)
+        for p in pdfs:
+            if not len(p):
+                continue
+            ts = p["ts"]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").tz_localize(None)
+            pending += list(
+                ts.astype("datetime64[ns]").astype("int64") // 1000
+            )
+        pending.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        final_rows, prov_rows, pending, next_sid = fold_pending(
+            pending, wm_us, gap_us, next_sid
+        )
+        emit_seq += 1
+        rows = [(user_id, *r, True, emit_seq) for r in final_rows]
+        rows += [(user_id, *r, False, emit_seq) for r in prov_rows]
+        if pending:
+            state.update((next_sid, emit_seq, pending))
+            # wake this user when the watermark passes its last event's
+            # merge horizon so the tail session finalizes without traffic
+            state.setTimeoutTimestamp(pending[-1] // 1000 + gap_us // 1000 + 1)
+        else:
+            state.remove()
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "session_id", "n_events", "start_us", "end_us",
+                "final", "emit_seq",
+            ],
+        )
+
+    df = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return df.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=WM_SESSION_SCHEMA,
+        stateStructType=_WM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def final_sessions_watermarked(emitted: DataFrame) -> DataFrame:
+    """Reduce the update-mode emissions of
+    :func:`stateful_sessionize_watermarked` to one row per session:
+    final rows are authoritative (emitted exactly once); for sessions the
+    stream ended on, only each user's LAST emission batch holds the
+    current provisional picture (earlier provisional rows may have been
+    merged away by late events), so provisional rows are taken from
+    max(emit_seq) per user only."""
+    # rename the aggregation's key: both join inputs share lineage (the
+    # sink table joined to its own groupBy), which otherwise trips the
+    # conflicting-attribute check
+    last_seq = emitted.groupBy(F.col("user_id").alias("_uid")).agg(
+        F.max("emit_seq").alias("_last")
+    )
+    finals = emitted.filter(F.col("final"))
+    tail = (
+        emitted.join(last_seq, emitted["user_id"] == last_seq["_uid"])
+        .filter(~F.col("final") & (F.col("emit_seq") == F.col("_last")))
+    )
+    return (
+        finals.unionByName(tail, allowMissingColumns=True)
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+    )
+
+
 def final_sessions(emitted: DataFrame) -> DataFrame:
     """Reduce the update-mode emissions of :func:`stateful_sessionize` to
     one final row per session (n_events is monotone per session; start is

@@ -164,7 +164,8 @@ def test_multimodal_plumbing(spark):
     feats = extract_media_features(media, fake=True).toPandas()
     assert len(feats) == 12
     assert set(feats.columns) == {"media_id", "kind", "width", "height",
-                                  "n_frames", "checksum"}
+                                  "n_frames", "checksum", "decoder"}
+    assert (feats["decoder"] == "fake").all()
     # deterministic: same input → same checksums
     feats2 = extract_media_features(media, fake=True).toPandas()
     assert sorted(feats["checksum"]) == sorted(feats2["checksum"])
