@@ -560,6 +560,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " bad_theta_docs long",
         )
 
+    def m8_lda_invariants(spark, sf):
+        # M8 fast path (unconstrained online-VB LDA, models/lda_fast.py)
+        # over the deterministic fixture corpus: structural invariants as
+        # oracle-checkable counts. n_docs/n_words cross-check the Spark
+        # extraction+canonicalization against the independent pandas
+        # oracle; the violation counts must all be zero.
+        from entitysummarization_spark.fixtures import make_fixture
+        from entitysummarization_spark.models.lda_fast import fast_lda
+        from entitysummarization_spark.operators.canonicalize import (
+            canonical_triples,
+        )
+        from entitysummarization_spark.operators.corpus import build_corpus
+        from entitysummarization_spark.operators.extraction import (
+            extract_triples,
+        )
+
+        fx = make_fixture(n_files=60, seed=42)
+        canon = canonical_triples(
+            extract_triples(spark, spark.createDataFrame(fx.repos), fx.vocab)
+        )
+        bundle = build_corpus(canon)
+        tw, dt = fast_lda(bundle.corpus, k=3, max_iter=15, seed=7)
+        tw = tw.persist()
+        dt = dt.persist()
+        n_docs = dt.select("doc_id").distinct().count()
+        n_words = bundle.words.count()
+        k_topics = tw.select("topic").distinct().count()
+        bad_topic_sums = (
+            tw.groupBy("topic").agg(F.sum("weight").alias("s"))
+            .filter(F.abs(F.col("s") - 1.0) > 1e-6).count()
+        )
+        bad_theta_docs = (
+            dt.groupBy("doc_id").agg(F.sum("theta").alias("s"))
+            .filter(F.abs(F.col("s") - 1.0) > 1e-6).count()
+        )
+        neg_rows = (
+            tw.filter(F.col("weight") < 0).count()
+            + dt.filter(F.col("theta") < 0).count()
+        )
+        # every corpus word must appear in the fitted topic-word table
+        missing_words = (
+            bundle.corpus.select("word_id").distinct()
+            .join(tw.select("word_id").distinct(), "word_id", "left_anti")
+            .count()
+        )
+        tw.unpersist()
+        dt.unpersist()
+        return spark.createDataFrame(
+            [(n_docs, n_words, k_topics, bad_topic_sums, bad_theta_docs,
+              neg_rows, missing_words)],
+            "n_docs long, n_words long, k_topics long, bad_topic_sums long,"
+            " bad_theta_docs long, neg_rows long, missing_words long",
+        )
+
     return {
         "a1_word_freq": a1_word_freq,
         "a2_corpus_stats": a2_corpus_stats,
@@ -604,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": simhash,
         "kg_pipeline_summaries": kg_pipeline_summaries,
         "kg_pipeline_invariants": kg_pipeline_invariants,
+        "m8_lda_invariants": m8_lda_invariants,
     }
 
 
@@ -1286,6 +1341,17 @@ def oracle_sql() -> dict[str, str]:
                0::BIGINT AS bad_rank_docs, 0::BIGINT AS bad_count_docs,
                0::BIGINT AS orphan_rows, 0::BIGINT AS bad_score_rows,
                0::BIGINT AS bad_theta_docs
+    """
+    # M8 fast-path invariants: expected doc/vocab counts come from the
+    # same independent pandas oracle (min_word_freq=1 → no prune, so the
+    # corpus spans every canon subject/object); violations must be zero
+    po_canon = po["canon"]
+    out["m8_lda_invariants"] = f"""
+        SELECT {po_canon["subj"].nunique()}::BIGINT AS n_docs,
+               {po["n_words"]}::BIGINT AS n_words,
+               3::BIGINT AS k_topics, 0::BIGINT AS bad_topic_sums,
+               0::BIGINT AS bad_theta_docs, 0::BIGINT AS neg_rows,
+               0::BIGINT AS missing_words
     """
     # the stateful-streaming sessionizer must converge to the exact batch
     # sessionization, so it shares its oracle

