@@ -482,6 +482,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = _load(spark, sf, "embeddings")
         return similarity.lsh_bucketed_topk(emb, dim=64, k=5)
 
+    def ann_ivf_topk(spark, sf):
+        # oracle-checked: inverted-file ANN with the seeded random codebook
+        # (operators/similarity.codebook_matrix is the single source of
+        # truth; the DuckDB SQL inlines the same cell literals and the same
+        # v·v − 2·v·c + c·c distance expression, so cell assignment — and
+        # therefore the candidate set — matches across engines). The
+        # k-means-trained quantizer path is pytest recall-gated
+        # (tests/test_similarity_ivf.py).
+        emb = _load(spark, sf, "embeddings")
+        return similarity.ivf_topk(emb, dim=64, k=5, n_cells=8, n_probe=2)
+
     def kg_pipeline_summaries(spark, sf):
         # oracle-checked (golden VALUES): the full 4-partition pipeline on
         # the deterministic repos fixture is bit-identical to the
@@ -655,6 +666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_doc_core": per_doc_core,
         "textrank": textrank,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
         "simhash": simhash,
         "kg_pipeline_summaries": kg_pipeline_summaries,
         "kg_pipeline_invariants": kg_pipeline_invariants,
@@ -690,6 +702,60 @@ def _ann_lsh_sql(
           SELECT DISTINCT a.id AS query_id, c.id AS neighbor_id
           FROM b a JOIN b c
             ON a.tbl = c.tbl AND a.bucket = c.bucket AND a.id <> c.id),
+        scored AS (
+          SELECT query_id, neighbor_id,
+                 round(list_dot_product(qa.v, qb.v)
+                       / (sqrt(list_dot_product(qa.v, qa.v))
+                          * sqrt(list_dot_product(qb.v, qb.v))), 4) AS cosine
+          FROM cand JOIN e qa ON qa.vec_id = query_id
+                    JOIN e qb ON qb.vec_id = neighbor_id)
+        SELECT query_id, rank, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+          ) AS rank FROM scored
+        ) WHERE rank <= {k}
+    """
+
+
+def _ann_ivf_sql(
+    dim: int = 64, k: int = 5, n_cells: int = 8, n_probe: int = 2,
+    seed: int = 42,
+) -> str:
+    """DuckDB mirror of similarity.ivf_topk with the seeded codebook: cell
+    literals AND the c·c terms are the identical Python floats the Spark
+    side folds over (codebook_matrix is the single source of truth), and
+    squared L2 is the same v·v − 2·v·c + c·c expression with in-order dot
+    products, so argmin (ties by cell id) — and therefore the approximate
+    candidate set — is bit-identical across engines; the re-score is the
+    exact cosine."""
+    from entitysummarization_spark.operators.similarity import codebook_matrix
+
+    cb = codebook_matrix(dim, n_cells, seed)
+    cells = ", ".join(
+        "({}, [{}]::DOUBLE[], {!r})".format(
+            i,
+            ", ".join(repr(float(x)) for x in c),
+            float(sum(float(x) * float(x) for x in c)),
+        )
+        for i, c in enumerate(cb)
+    )
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cells(cell, c, cc) AS (VALUES {cells}),
+        assign AS (
+          SELECT vec_id, cell, row_number() OVER (
+              PARTITION BY vec_id
+              ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c) + cc,
+                       cell
+          ) AS pr
+          FROM e CROSS JOIN cells),
+        filed AS (SELECT vec_id AS neighbor_id, cell FROM assign WHERE pr = 1),
+        probes AS (SELECT vec_id AS query_id, cell FROM assign
+                   WHERE pr <= {n_probe}),
+        cand AS (
+          SELECT query_id, neighbor_id
+          FROM probes JOIN filed USING (cell)
+          WHERE query_id <> neighbor_id),
         scored AS (
           SELECT query_id, neighbor_id,
                  round(list_dot_product(qa.v, qb.v)
@@ -1314,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "textrank": _textrank_sql(),
         "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "per_doc_core": _per_doc_core_sql(),
         "simhash": _simhash_md5_sql(),
     }

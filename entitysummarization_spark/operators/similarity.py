@@ -9,8 +9,12 @@ Two paths:
     bucket join replaces the full cross product; recall is tuned by
     n_planes / n_tables.
 
-An IVF variant (k-means coarse quantizer via pyspark.ml, probe nearest
-cells) is the next rung; LSH covers the sandbox scale.
+  - ivf_topk: inverted-file ANN — a coarse quantizer assigns each vector
+    to its nearest codebook cell; queries probe their n_probe nearest
+    cells and score only the vectors filed there. The codebook is either
+    seeded-random (engine-portable: the DuckDB oracle inlines the same
+    literals) or k-means-trained via pyspark.ml (`kmeans_codebook`, the
+    production quantizer — pytest recall-gated).
 """
 
 from __future__ import annotations
@@ -278,6 +282,148 @@ def lsh_bucketed_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+def codebook_matrix(dim: int, n_cells: int, seed: int) -> "np.ndarray":
+    """Deterministic random codebook — like plane_matrix, the single source
+    of truth for the Spark operator AND the DuckDB oracle (which inlines
+    these floats as literals), so cell assignment is identical across
+    engines."""
+    return np.random.RandomState(seed).randn(n_cells, dim)
+
+
+def kmeans_codebook(
+    emb: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+    vec_col: str = "embedding",
+) -> "np.ndarray":
+    """Train the IVF coarse quantizer with distributed k-means
+    (pyspark.ml.clustering.KMeans — seeded k-means|| init, executor-side
+    Lloyd iterations). Only the n_cells×dim codebook reaches the driver.
+    At corpus scale train on a sample (`emb.sample(...)`): the quantizer
+    needs cluster STRUCTURE, not every row."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(train)
+    return np.array(
+        [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    codebook: "np.ndarray",
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) for each vector's ``n_probe`` nearest codebook cells.
+
+    All JVM-side: squared L2 to cell c is computed as v·v − 2·v·c + c·c
+    with c·c a Python-float literal and both dot products in-array-order
+    folds — the exact expression the DuckDB oracle evaluates, so argmin
+    (ties broken by cell id, via the struct sort) matches across engines.
+    """
+    v = F.col("__v")
+    vv = _dot(v, v)
+    cells = F.array(*[
+        F.struct(
+            (
+                vv
+                - 2.0 * _dot(v, F.array(*[F.lit(float(x)) for x in c]))
+                + F.lit(float(sum(float(x) * float(x) for x in c)))
+            ).alias("dist"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(codebook)
+    ])
+    return (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .select(
+            "id",
+            F.explode(F.slice(F.array_sort(cells), 1, n_probe)).alias("s"),
+        )
+        .select("id", F.col("s.cell").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    codebook: "np.ndarray | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: index vectors are filed under their single
+    nearest cell; each query probes its ``n_probe`` nearest cells and
+    exact-rescores only the vectors filed there.
+
+    Shuffle shape at scale: the candidate join keys on cell id — each
+    query touches ~n_probe·N/n_cells candidates instead of N, and the
+    only joins are equi-joins on a small int key, so the plan is the
+    same bucket-join shape as the LSH path. Size n_cells ~ √N at corpus
+    scale (the standard IVF rule) so both the per-cell list and the
+    codebook stay balanced; a hot cell (dense embedding region) is a
+    skewed join key, which AQE skew-join splits. ``codebook=None`` uses
+    the seeded random codebook (engine-portable, oracle-checkable);
+    pass ``kmeans_codebook(emb, ...)`` for the trained quantizer —
+    recall at equal n_probe is higher because cells follow the data.
+    n_probe=n_cells degenerates to exhaustive search (recall 1.0, the
+    pytest invariant).
+    """
+    if codebook is None:
+        codebook = codebook_matrix(dim, n_cells, seed)
+    filed = ivf_assign(emb, codebook, 1, id_col, vec_col)
+    probes = ivf_assign(emb, codebook, n_probe, id_col, vec_col)
+    cand = (
+        probes.withColumnRenamed("id", "query_id")
+        .join(filed.withColumnRenamed("id", "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    scored = (
+        cand.join(
+            e.withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv"),
+            "query_id",
+        )
+        .join(
+            e.withColumnRenamed("id", "neighbor_id").withColumnRenamed("v", "cv"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
