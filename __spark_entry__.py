@@ -281,6 +281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def token_stats(spark, sf):
         return textstats.token_stats(_load(spark, sf, "documents"))
 
+    def bpe_token_stats(spark, sf):
+        # whitespace + BPE-ish-regex token budgets; the pattern is written
+        # in the Java-regex/RE2 common subset so both engines count the
+        # same pretokens (operators/textstats.BPE_ISH_PATTERN)
+        return textstats.bpe_token_stats(_load(spark, sf, "documents"))
+
     def fingerprint(spark, sf):
         return textstats.fingerprint(_load(spark, sf, "documents"))
 
@@ -643,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "quality": quality,
         "token_stats": token_stats,
+        "bpe_token_stats": bpe_token_stats,
         "json_props": json_props,
         "fingerprint": fingerprint,
         "kg_mentions": kg_mentions,
@@ -1121,6 +1128,22 @@ def oracle_sql() -> dict[str, str]:
                    round(len(array_to_string(t, '')) * 1.0
                          / greatest(len(t), 1), 4) AS avg_token_len
             FROM (SELECT doc_id, {toks} AS t FROM documents)
+        """,
+        "bpe_token_stats": r"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(
+                       text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s'
+                   ))::BIGINT AS n_bpe_tokens,
+                   round(len(regexp_extract_all(
+                             text,
+                             ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s'
+                         ))::DOUBLE
+                         / greatest(len(list_filter(
+                               string_split_regex(text, '\s+'),
+                               x -> x <> '')), 1), 4) AS bpe_per_ws
+            FROM documents
         """,
         "json_props": """
             SELECT event_type,

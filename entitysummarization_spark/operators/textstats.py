@@ -91,3 +91,35 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
         ).alias("fingerprint"),
     )
+
+# GPT-2-style pretokenizer, simplified to constructs Java regex and RE2
+# (DuckDB) evaluate identically: an optional leading space glued to a
+# letter run / digit run / punctuation run, else one whitespace char.
+# No lookahead (RE2 has none) and ASCII classes (\p{L} coverage differs
+# across engines). Counting these pretokens approximates an LLM (BPE)
+# token count well enough for length budgeting; real BPE merges only
+# split WITHIN pretokens, so this is an upper bound on merged tokens.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens, bpe_per_ws): whitespace-split
+    count next to the BPE-ish pretoken count — the two token budgets a
+    training-data pipeline tracks. All JVM-side regex; one scan-only
+    stage, no shuffle."""
+    ws = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != ""
+    )
+    bpe = F.regexp_extract_all(
+        F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0)
+    )
+    n_ws = F.size(ws).cast("long")
+    n_bpe = F.size(bpe).cast("long")
+    return docs.select(
+        F.col(id_col),
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 4).alias("bpe_per_ws"),
+    )
