@@ -275,6 +275,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return textstats.lang_id_en(_load(spark, sf, "documents"))
 
+    def lang_id_ngram(spark, sf):
+        # Cavnar–Trenkle trigram profiles + CJK-script routing; profile
+        # literals shared with the oracle (operators/textstats.LID_PROFILES)
+        return textstats.lang_id_ngram(_load(spark, sf, "documents"))
+
     def quality(spark, sf):
         return textstats.quality_score(_load(spark, sf, "documents"))
 
@@ -647,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": minhash_lsh,
         "ann_cosine_topk": ann_cosine_topk,
         "lang_id": lang_id,
+        "lang_id_ngram": lang_id_ngram,
         "quality": quality,
         "token_stats": token_stats,
         "bpe_token_stats": bpe_token_stats,
@@ -960,6 +966,8 @@ def _simhash_md5_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from entitysummarization_spark.operators import textstats
+
     toks = _TOKS_SQL
     stop = EN_STOP_SQL
     shingles3 = f"""
@@ -975,6 +983,24 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT id, {bi} AS band, md5('{bi}' || '|' || h{2*bi} || '|' || h{2*bi+1}) AS bucket FROM sig"
         for bi in range(4)
     )
+
+    # lang_id_ngram: both engines score from the SAME trigram-profile
+    # literals (textstats.LID_PROFILES), same leading-space pad, same
+    # replace-based counting, same alphabetical tie-break.
+    lid_langs = sorted(textstats.LID_PROFILES)
+    lid_hits = ",\n                   ".join(
+        " + ".join(
+            f"((length(lc) - length(replace(lc, '{g}', ''))) / {len(g)})::BIGINT"
+            for g in textstats.LID_PROFILES[lang]
+        )
+        + f" AS h_{lang}"
+        for lang in lid_langs
+    )
+    lid_best = "greatest(" + ", ".join(f"h_{l}" for l in lid_langs) + ")"
+    lid_case = "\n                        ".join(
+        f"WHEN h_{l} = best THEN '{l}'" for l in lid_langs
+    )
+    cjk_lo, cjk_hi = textstats.CJK_BLOCK
 
     out = {
         "a1_word_freq": _WORD_FREQ_SQL,
@@ -1106,6 +1132,25 @@ def oracle_sql() -> dict[str, str]:
                    len(list_distinct(list_filter(t, x -> x IN {stop})))::BIGINT
                        AS n_distinct_stop
             FROM (SELECT doc_id, {toks} AS t FROM documents)
+        """,
+        "lang_id_ngram": f"""
+            WITH b AS (
+              SELECT doc_id, n_chars,
+                     n_chars - length(regexp_replace(
+                         text, '[{cjk_lo}-{cjk_hi}]', '', 'g')) AS n_cjk,
+                   {lid_hits}
+              FROM (SELECT doc_id, text, length(text) AS n_chars,
+                           ' ' || lower(text) AS lc FROM documents)
+            ), s AS (SELECT *, {lid_best} AS best FROM b)
+            SELECT doc_id,
+                   CASE WHEN n_cjk / greatest(n_chars, 1)
+                             >= {textstats.CJK_RATIO_THRESHOLD} THEN 'zh'
+                        WHEN best = 0 THEN 'und'
+                        {lid_case}
+                   END AS lang_pred,
+                   best::BIGINT AS n_hits,
+                   round(n_cjk / greatest(n_chars, 1), 4) AS cjk_ratio
+            FROM s
         """,
         "quality": f"""
             SELECT doc_id,

@@ -92,6 +92,74 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         ).alias("fingerprint"),
     )
 
+# Cavnar–Trenkle-style fixed character-n-gram profiles (tiny, documented
+# subset: the classic most-frequent-trigram lists per language). The
+# profiles are literals shared with the DuckDB oracle (__spark_entry__
+# generates the oracle SQL from this dict), so both engines score
+# identically; classification accuracy is separately golden-tested on
+# real multilingual sentences in tests/test_lang_id_ngram.py. Counting is
+# replace-based (occurrences = (len - len(remove(gram))) / len(gram)) —
+# pure whole-stage-codegen string ops, no regex, no Python.
+LID_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "sch", "ein", "und", "ich", "die", "das", "ung"),
+    "en": ("the", " th", "ing", "and", " of", " is", "ed ", " to"),
+    "es": (" el", "la ", "que", "ado", "ión", " de", "los", "una"),
+    "fr": (" le", "les", "est", "ont", " et", "aux", "eur", "une"),
+}
+# zh is routed by script, not trigrams: fraction of chars in the CJK
+# unified-ideograph block.
+CJK_BLOCK = ("一", "鿿")
+CJK_RATIO_THRESHOLD = 0.3
+
+
+def lang_id_ngram(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-trigram language ID: (doc_id, lang_pred, n_hits, cjk_ratio).
+
+    lang_pred = 'zh' if the CJK-char ratio clears CJK_RATIO_THRESHOLD,
+    else 'und' if no profile trigram occurs, else the argmax-hit language
+    (ties broken alphabetically — mirrored exactly in the oracle SQL).
+    The text is padded with one leading space so word-initial grams
+    (' le', ' th') count at the start of the document. One scan-only
+    stage: |langs|×|grams| replace/length expressions, no shuffle, no UDF.
+    """
+    lc = F.concat(F.lit(" "), F.lower(F.col(text_col)))
+    langs = sorted(LID_PROFILES)
+
+    def hits(lang: str):
+        h = F.lit(0).cast("long")
+        for g in LID_PROFILES[lang]:
+            h = h + (
+                (F.length(lc) - F.length(F.replace(lc, F.lit(g), F.lit(""))))
+                / len(g)
+            ).cast("long")
+        return h
+
+    n_chars = F.length(F.col(text_col))
+    cjk_re = f"[{CJK_BLOCK[0]}-{CJK_BLOCK[1]}]"
+    n_cjk = n_chars - F.length(F.regexp_replace(F.col(text_col), cjk_re, ""))
+    base = docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_cjk.alias("n_cjk"),
+        *[hits(lang).alias(f"h_{lang}") for lang in langs],
+    )
+    best = F.greatest(*[F.col(f"h_{lang}") for lang in langs])
+    cjk_ratio = F.col("n_cjk") / F.greatest(F.col("n_chars"), F.lit(1))
+    pred = F.when(cjk_ratio >= CJK_RATIO_THRESHOLD, F.lit("zh")).when(
+        best == 0, F.lit("und")
+    )
+    for lang in langs:  # alphabetical tie-break, same order as the oracle
+        pred = pred.when(F.col(f"h_{lang}") == best, F.lit(lang))
+    return base.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("n_hits"),
+        F.round(cjk_ratio, 4).alias("cjk_ratio"),
+    )
+
+
 # GPT-2-style pretokenizer, simplified to constructs Java regex and RE2
 # (DuckDB) evaluate identically: an optional leading space glued to a
 # letter run / digit run / punctuation run, else one whitespace char.
