@@ -138,6 +138,7 @@ _EDGES_X3_SQL = """
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from entitysummarization_spark.operators import (
+        curation,
         dedup,
         graph,
         similarity,
@@ -264,6 +265,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_lsh(spark, sf):
         return dedup.minhash_lsh_pairs(
             _load(spark, sf, "documents"), n_hashes=8, band_size=2
+        )
+
+    def neardup_clusters(spark, sf):
+        # LSH pairs → star-CC transitive closure → keeper per CLUSTER
+        # (pairwise near-dup output under-dedupes chains A~B~C); the
+        # DuckDB oracle replays the identical md5 minhash/banding and a
+        # recursive-CTE closure over the same pair graph
+        return curation.neardup_clusters(
+            _load(spark, sf, "documents"), n_hashes=8, band_size=2
+        )
+
+    def curation_funnel(spark, sf):
+        # retention accounting input → lang → quality → exact-dedup in
+        # one scan + one aggregation (flags and a 16-byte hash shuffle)
+        return curation.curation_funnel(
+            _load(spark, sf, "documents"), quality_threshold=0.5
+        )
+
+    def token_budget_mix(spark, sf):
+        # per-language token-budget training mix via a distributed
+        # two-phase prefix sum (no single-task-per-language window)
+        return curation.token_budget_mix(
+            _load(spark, sf, "documents"), budget_per_lang=3000
         )
 
     def ann_cosine_topk(spark, sf):
@@ -650,6 +674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
         "minhash_lsh": minhash_lsh,
+        "neardup_clusters": neardup_clusters,
+        "curation_funnel": curation_funnel,
+        "token_budget_mix": token_budget_mix,
         "ann_cosine_topk": ann_cosine_topk,
         "lang_id": lang_id,
         "lang_id_ngram": lang_id_ngram,
@@ -1468,6 +1495,84 @@ def oracle_sql() -> dict[str, str]:
     # star CC converges to the same true components the recursive CTE
     # computes — identical oracle
     out["g4_cc_star"] = out["g4_connected_components"]
+    # neardup_clusters: identical md5 minhash/banding (shared with the
+    # minhash_lsh oracle) + recursive-CTE transitive closure over the
+    # candidate-pair graph + keeper election
+    out["neardup_clusters"] = f"""
+        WITH RECURSIVE sig AS ({minhash_sig}),
+        bands AS ({bands}),
+        pairs AS (
+          SELECT a.id AS src, b.id AS dst FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+          GROUP BY 1, 2),
+        sym AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM sym),
+        reach(root, nd) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT r.root, s.dst FROM reach r JOIN sym s ON s.src = r.nd),
+        comp AS (SELECT root AS node, min(nd) AS component
+                 FROM reach GROUP BY root),
+        lab AS (SELECT d.doc_id,
+                       coalesce(c.component, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+        sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+                      min(doc_id) AS keeper
+               FROM lab GROUP BY 1)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+               l.doc_id = s.keeper AS is_keeper
+        FROM lab l JOIN sz s USING (cluster_id)
+    """
+    # curation_funnel: same en_ratio/quality arithmetic as the lang_id and
+    # quality oracles, folded to one aggregation then pivoted to stages
+    _flags = f"""
+        SELECT md5(text) AS h,
+               round(ns / greatest(n, 1.0), 4) >= 0.05 AS p1,
+               (round(ns / greatest(n, 1.0), 4) >= 0.05
+                AND round(0.4 * least(n / 100.0, 1.0)
+                          + 0.4 * (nd / greatest(n, 1.0))
+                          + 0.2 * least((ns / greatest(n, 1.0)) / 0.05, 1.0),
+                          4) >= 0.5) AS p2
+        FROM (SELECT text, len(t)::DOUBLE AS n,
+                     len(list_distinct(t))::DOUBLE AS nd,
+                     len(list_filter(t, x -> x IN {stop}))::DOUBLE AS ns
+              FROM (SELECT text, {toks} AS t FROM documents))
+    """
+    out["curation_funnel"] = f"""
+        WITH f AS ({_flags}),
+        a AS (SELECT count(*)::BIGINT AS n0,
+                     sum(p1::INT)::BIGINT AS n1,
+                     sum(p2::INT)::BIGINT AS n2,
+                     count(DISTINCT CASE WHEN p2 THEN h END)::BIGINT AS n3
+              FROM f)
+        SELECT 0 AS stage, 'input' AS stage_name, n0 AS n_docs,
+               round(n0 / n0::DOUBLE, 4) AS pct_of_input FROM a
+        UNION ALL SELECT 1, 'lang_en', n1, round(n1 / n0::DOUBLE, 4) FROM a
+        UNION ALL SELECT 2, 'quality', n2, round(n2 / n0::DOUBLE, 4) FROM a
+        UNION ALL SELECT 3, 'exact_dedup', n3,
+                         round(n3 / n0::DOUBLE, 4) FROM a
+    """
+    # token_budget_mix: the oracle states the SEMANTICS as one per-lang
+    # window cumsum; the Spark plan computes the same total order via the
+    # distributed two-phase prefix sum (operators/curation.py)
+    out["token_budget_mix"] = f"""
+        WITH q AS (
+          SELECT lang, doc_id, len(t)::BIGINT AS n_tokens,
+                 round(0.4 * least(len(t)::DOUBLE / 100.0, 1.0)
+                       + 0.4 * (len(list_distinct(t))::DOUBLE
+                                / greatest(len(t)::DOUBLE, 1.0))
+                       + 0.2 * least((len(list_filter(t, x -> x IN {stop}))::DOUBLE
+                                      / greatest(len(t)::DOUBLE, 1.0)) / 0.05,
+                                     1.0), 4) AS quality
+          FROM (SELECT lang, doc_id, {toks} AS t FROM documents)),
+        c AS (SELECT lang, doc_id, n_tokens, quality,
+                     sum(n_tokens) OVER (
+                         PARTITION BY lang ORDER BY quality DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+              FROM q)
+        SELECT lang, doc_id, n_tokens, cum_tokens, quality
+        FROM c WHERE cum_tokens <= 3000
+    """
     out["kg_pipeline_summaries"] = summaries_values_sql(po["summaries"])
     s = po["summaries"]
     out["kg_pipeline_invariants"] = f"""
