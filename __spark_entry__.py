@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from entitysummarization_spark.streaming.events import (
         final_sessions,
+        first_touch,
         run_stream_once,
         sessionize,
         stateful_sessionize,
@@ -386,6 +387,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def sessions(spark, sf):
         return sessionize(_load(spark, sf, "events"), gap_minutes=30)
+
+    def first_touch_attr(spark, sf):
+        # first-touch attribution per (user, event_type): min over a
+        # (ts, event_id) struct — a total order, so the winner is
+        # arrival-order-independent (same plan batch and streaming; the
+        # streaming twin is equivalence-tested in test_streaming_state.py)
+        return first_touch(_load(spark, sf, "events"))
 
     def stateful_sessions(spark, sf):
         # the REAL streaming path: readStream → applyInPandasWithState
@@ -690,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_ngd": g10_ngd,
         "stream_window_counts": stream_window_counts,
         "sessions": sessions,
+        "first_touch_attr": first_touch_attr,
         "stateful_sessions": stateful_sessions,
         "a10_tfidf": a10_tfidf,
         "g14_tfidf_cosine": g14_tfidf_cosine,
@@ -1347,6 +1356,22 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(min(ts))::BIGINT AS start_us,
                    epoch_us(max(ts))::BIGINT AS end_us
             FROM s GROUP BY 1, 2
+        """,
+        "first_touch_attr": """
+            SELECT user_id, event_type, first_ts_us, first_event_id,
+                   n_events
+            FROM (
+              SELECT user_id, event_type,
+                     epoch_us(ts)::BIGINT AS first_ts_us,
+                     event_id AS first_event_id,
+                     count(*) OVER (
+                         PARTITION BY user_id, event_type)::BIGINT
+                         AS n_events,
+                     row_number() OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS rn
+              FROM events)
+            WHERE rn = 1
         """,
         "a10_tfidf": f"""
             WITH {_TFIDF_CORE.format(toks=toks)}

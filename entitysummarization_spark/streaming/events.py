@@ -342,6 +342,41 @@ def final_sessions(emitted: DataFrame) -> DataFrame:
     )
 
 
+def first_touch(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """First-touch attribution per (user, event_type): the earliest event
+    (by ts, then event_id — a total order, so batch, streaming, and the
+    DuckDB oracle agree exactly) plus the group's event count. Output
+    (user_id, event_type, first_ts_us, first_event_id, n_events).
+
+    Streaming: a stateful aggregation in update mode — state per group is
+    ONE (ts, event_id) struct + a count, so the store is bounded by the
+    number of live groups, not by events; `min` over the struct makes the
+    winner arrival-order-independent inside a micro-batch (a bare
+    dropDuplicates keeps whichever copy reaches the state store first —
+    not reproducible cross-engine). The same plan runs on a batch frame.
+    """
+    df = events
+    if events.isStreaming:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if watermark:
+            df = df.withWatermark("ts", watermark)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    first = F.min(
+        F.struct(ts_us.alias("t"), F.col("event_id").alias("e"))
+    ).alias("f")
+    return (
+        df.groupBy("user_id", "event_type")
+        .agg(first, F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("f.t").alias("first_ts_us"),
+            F.col("f.e").alias("first_event_id"),
+            "n_events",
+        )
+    )
+
+
 def stream_events_from_parquet(
     spark: SparkSession, path: str, max_files: int = 1
 ) -> DataFrame:

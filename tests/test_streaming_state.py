@@ -114,3 +114,26 @@ def test_stateful_sessionize_matches_testdata_oracle(spark, sf_dir, tmp_path):
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     expected = _sorted(sessionize(batch, gap_minutes=GAP_MIN).toPandas())
     pd.testing.assert_frame_equal(got, expected)
+
+
+def test_first_touch_stream_matches_batch(spark, dense_events, sliced_dir):
+    """first_touch: multi-micro-batch streaming aggregation ≡ batch plan.
+    The min-over-(ts, event_id)-struct winner must be stable across batch
+    boundaries (state carries one struct + count per group)."""
+    from entitysummarization_spark.streaming.events import first_touch
+
+    batch = spark.createDataFrame(dense_events)
+    cols = ["user_id", "event_type", "first_ts_us", "first_event_id",
+            "n_events"]
+    expected = (
+        first_touch(batch).toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)[cols]
+    )
+    stream = stream_events_from_parquet(spark, sliced_dir, max_files=1)
+    got = (
+        run_stream_once(first_touch(stream), "first_touch_test",
+                        output_mode="complete")
+        .toPandas()
+        .sort_values(["user_id", "event_type"], ignore_index=True)[cols]
+    )
+    pd.testing.assert_frame_equal(got, expected)
