@@ -437,10 +437,15 @@ def scaling_run(
         pair_rows: list[dict] = []
         n_triples = 0
 
-        # total seconds of pre-pair clean-window parking: parking costs
-        # ~no CPU and a parked minute can reach a burst's end, while a
-        # dirty trial burns 40-60 s and contributes nothing to the minima
-        wait_budget = [600.0]
+        # total seconds of pre-pair clean-window parking. Parking is cheap
+        # triage for REAL bursts only (gate 0.75×ref): with a cross-run
+        # best-ever reference, a 0.9 gate is unreachable under this box's
+        # AMBIENT tenant load (probes read 0.6-0.8×ref for hours) and a
+        # large budget starves the run of trials — each ~65 s pair is a
+        # min-estimator lottery ticket that can land in a 15-40 s gap,
+        # which a parked minute cannot (measured: a 600 s park budget ate
+        # a third of the wall and the run still read 0/0 clean trials)
+        wait_budget = [240.0]
         t_scaling0 = time.perf_counter()
 
         def wall_left() -> float:
@@ -455,18 +460,36 @@ def scaling_run(
         import threading
 
         sensor_on = pin and len(avail) >= n4 + n16
-        it_ref = {n4: 0.0, n16: 0.0}   # running-max sensor thr per core set
-        it_min = {n4: [], n16: []}     # per chain trial: worst sensor sample
+        # prefer SPARE cores (owned by neither leg) for the sensor: the
+        # other leg's pinned cores carry its idle resident JVM's
+        # background threads (GC/RPC/timer ticks), which depress samples
+        # in bursts and falsely flag clean trials dirty — measured: the
+        # sensor on the idle-16-JVM's cores never read above 0.69×ref
+        # across a night while the reverse direction hit 0.87. Tenant
+        # load roams the whole box, so spare cores sense it just as well.
+        spare = tuple(
+            c for c in avail
+            if c not in set(pin_sets[n4]) and c not in set(pin_sets[n16])
+        )
+
+        def sensor_cpus(n: int) -> tuple:
+            if len(spare) >= 4:
+                return spare[:4]
+            other = n16 if n == n4 else n4
+            return tuple(pin_sets[other][:4])
+
+        it_refs: dict[tuple, float] = {}   # running-max thr per sampled set
+        it_min = {n4: [], n16: []}         # per chain trial: (worst, set)
 
         def timed_trial(n: int, kind: str):
-            other = n16 if n == n4 else n4
             samples: list[float] = []
             th = stopev = None
+            key = sensor_cpus(n)
             if sensor_on:
                 stopev = threading.Event()
                 th = threading.Thread(
                     target=_in_trial_sensor,
-                    args=(pin_sets[other], stopev, samples), daemon=True,
+                    args=(key, stopev, samples), daemon=True,
                 )
                 th.start()
             res = _server_trial(servers[n], kind)
@@ -475,19 +498,22 @@ def scaling_run(
                 th.join(timeout=10)
             worst = min(samples) if samples else None
             if samples:
-                it_ref[other] = max(it_ref[other], max(samples))
+                it_refs[key] = max(it_refs.get(key, 0.0), max(samples))
                 if kind == "chain":
-                    it_min[n].append(worst)
-            return res, worst
+                    it_min[n].append((worst, key))
+            return res, (
+                round(worst / it_refs[key], 3)
+                if worst is not None and it_refs.get(key)
+                else None
+            )
 
         def clean_trials(n: int) -> int:
             # chain trials of leg n whose worst in-trial sample stayed
             # ≥85% of the running-max reference for the sampled core set
-            other = n16 if n == n4 else n4
-            ref = it_ref[other]
-            if not ref:
-                return 0
-            return sum(1 for m in it_min[n] if m >= 0.85 * ref)
+            return sum(
+                1 for worst, key in it_min[n]
+                if it_refs.get(key) and worst >= 0.85 * it_refs[key]
+            )
 
         def legs_clean() -> bool:
             return (not sensor_on) or all(
@@ -521,7 +547,11 @@ def scaling_run(
                 else:
                     probe = _mp_probe(cpus=probe_cpus)
                     probe_ref = max(probe_ref, probe)
-                if probe >= 0.9 * probe_ref or wait_budget[0] <= 0:
+                if (
+                    probe >= 0.75 * probe_ref
+                    or wait_budget[0] <= 0
+                    or wall_left() < 900
+                ):
                     break
                 last_dirty = True  # stay in burst-aware mode while parked
                 time.sleep(12)
@@ -531,14 +561,9 @@ def scaling_run(
             t = {}
             it = {}
             for n in order:
-                res, worst = timed_trial(n, kind)
+                res, it_ratio = timed_trial(n, kind)
                 t[n] = res["t"]
-                other = n16 if n == n4 else n4
-                it[n] = (
-                    round(worst / it_ref[other], 3)
-                    if worst is not None and it_ref[other]
-                    else None
-                )
+                it[n] = it_ratio
                 n_triples = max(n_triples, res.get("n_triples", 0))
                 sink[n].append(res["t"])
             ratio = round(t[n4] / (4.0 * t[n16]), 3)
@@ -608,15 +633,18 @@ def scaling_run(
         ):
             probe = _mp_probe(cpus=probe_cpus)
             probe_ref = max(probe_ref, probe)
-            if probe >= 0.9 * probe_ref:
+            # run unless the box reads genuinely burst-y (same 0.75 gate
+            # as pre-pair parking — under ambient load trials beat sleep),
+            # and stop parking altogether once the wall gets tight
+            if probe >= 0.75 * probe_ref or wall_left() < 600:
                 t0 = time.perf_counter()
                 run_pair("chain", i, trials)
                 i += 1
                 extra += 1
                 hunt_budget -= time.perf_counter() - t0
             else:
-                time.sleep(20)
-                hunt_budget -= 20
+                time.sleep(15)
+                hunt_budget -= 15
         n_chain = i
         i = 0
         while i < max_map_pairs:
