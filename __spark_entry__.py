@@ -291,6 +291,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _load(spark, sf, "documents"), budget_per_lang=3000
         )
 
+    def decontaminate(spark, sf):
+        # eval-set contamination flags: docs sharing any word 4-gram with
+        # the (synthetic) eval slice doc_id < 5; eval shingles broadcast
+        # as a dim, the corpus side touched once
+        docs = _load(spark, sf, "documents")
+        return curation.decontaminate(
+            docs.filter(F.col("doc_id") >= 5),
+            docs.filter(F.col("doc_id") < 5),
+            n=4,
+        )
+
     def ann_cosine_topk(spark, sf):
         emb = _load(spark, sf, "embeddings")
         return similarity.cosine_topk(
@@ -685,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_clusters": neardup_clusters,
         "curation_funnel": curation_funnel,
         "token_budget_mix": token_budget_mix,
+        "decontaminate": decontaminate,
         "ann_cosine_topk": ann_cosine_topk,
         "lang_id": lang_id,
         "lang_id_ngram": lang_id_ngram,
@@ -1576,6 +1588,31 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, 'quality', n2, round(n2 / n0::DOUBLE, 4) FROM a
         UNION ALL SELECT 3, 'exact_dedup', n3,
                          round(n3 / n0::DOUBLE, 4) FROM a
+    """
+    # decontaminate: same 4-gram shingling in both engines; eval slice =
+    # doc_id < 5, training slice = the rest
+    out["decontaminate"] = f"""
+        WITH tsh AS (
+          SELECT DISTINCT doc_id AS id,
+                 array_to_string(t[i:i+3], ' ') AS shingle
+          FROM (SELECT doc_id, {toks} AS t FROM documents
+                WHERE doc_id >= 5),
+               UNNEST(range(1, len(t) - 2)) u(i)
+          WHERE len(t) >= 4),
+        esh AS (
+          SELECT DISTINCT array_to_string(t[i:i+3], ' ') AS shingle
+          FROM (SELECT doc_id, {toks} AS t FROM documents
+                WHERE doc_id < 5),
+               UNNEST(range(1, len(t) - 2)) u(i)
+          WHERE len(t) >= 4),
+        hits AS (
+          SELECT id, count(*)::BIGINT AS n
+          FROM tsh JOIN esh USING (shingle) GROUP BY id)
+        SELECT d.doc_id,
+               coalesce(h.n, 0)::BIGINT AS n_contaminated_ngrams,
+               coalesce(h.n, 0) > 0 AS is_contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id >= 5) d
+        LEFT JOIN hits h ON d.doc_id = h.id
     """
     # token_budget_mix: the oracle states the SEMANTICS as one per-lang
     # window cumsum; the Spark plan computes the same total order via the

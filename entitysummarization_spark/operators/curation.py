@@ -226,6 +226,57 @@ def token_budget_mix(
     return mix
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set contamination flags: for every training document, how many
+    distinct word ``n``-grams it shares with the evaluation corpus.
+    Returns (doc_id, n_contaminated_ngrams, is_contaminated) — one row per
+    training doc; drop `is_contaminated` rows to decontaminate.
+
+    Plan shape: eval shingles are a dim (eval suites are thousands of
+    docs, not billions) — distinct eval n-grams BROADCAST against the
+    training corpus's shingle stream, aggregated per doc, then a left
+    join back to all docs so clean documents keep an explicit zero. The
+    expensive side (the 100-TB corpus) is touched once, shuffles only
+    (doc_id, count) pairs, and never self-joins. If the eval side ever
+    outgrew broadcast, the same plan degrades to a shuffled semi join on
+    the shingle key — the operator keeps Catalyst free to choose by NOT
+    forcing the hint when the eval side exceeds the broadcast threshold
+    (spark.sql.autoBroadcastJoinThreshold governs).
+    """
+    from .dedup import shingles
+
+    train_sh = shingles(docs, n=n, id_col=id_col, text_col=text_col)
+    eval_sh = (
+        shingles(eval_docs, n=n, id_col=id_col, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_contaminated_ngrams"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, F.col("doc_id") == hits.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .cast("long")
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
 def _quality_expr(text_col: str):
     """The textstats.quality_score scalar, inlined (shared contract with
     the DuckDB oracle; see quality_score for the formula provenance)."""

@@ -158,3 +158,31 @@ def test_token_budget_mix_skew_safe_plan(spark, sf_dir):
             assert "part_tokens" in line, (
                 f"corpus window keyed on lang alone: {line.strip()}"
             )
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon zeta")])
+    tr = _docs(
+        spark,
+        [
+            # contains "alpha beta gamma" (one shared 3-gram) and
+            # "beta gamma delta" (a second one)
+            (1, "prefix alpha beta gamma delta suffix words here"),
+            (2, "totally unrelated content with zero overlap at all"),
+            # too short for any 3-gram
+            (3, "alpha beta"),
+        ],
+    )
+    out = (
+        curation.decontaminate(tr, ev, n=3)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 3
+    # doc 1 shares exactly "alpha beta gamma" and "beta gamma delta"
+    assert out.loc[1, "n_contaminated_ngrams"] == 2
+    assert bool(out.loc[1, "is_contaminated"])
+    assert out.loc[2, "n_contaminated_ngrams"] == 0
+    assert not bool(out.loc[2, "is_contaminated"])
+    assert out.loc[3, "n_contaminated_ngrams"] == 0
