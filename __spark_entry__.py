@@ -331,6 +331,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprint(spark, sf):
         return textstats.fingerprint(_load(spark, sf, "documents"))
 
+    def repetition_stats(spark, sf):
+        # Gopher-style within-doc repetition ratios (top token / top
+        # bigram / duplicate-token mass), token-granular, no Python
+        return textstats.repetition_stats(_load(spark, sf, "documents"))
+
     def json_props(spark, sf):
         # semi-structured metadata extraction (training-data pipelines carry
         # per-record JSON sidecars): schema-on-read via from_json — stays in
@@ -705,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": bpe_token_stats,
         "json_props": json_props,
         "fingerprint": fingerprint,
+        "repetition_stats": repetition_stats,
         "kg_mentions": kg_mentions,
         "w7_pmi_labels": w7_pmi_labels,
         "g10_ngd": g10_ngd,
@@ -1588,6 +1594,33 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, 'quality', n2, round(n2 / n0::DOUBLE, 4) FROM a
         UNION ALL SELECT 3, 'exact_dedup', n3,
                          round(n3 / n0::DOUBLE, 4) FROM a
+    """
+    # repetition_stats: same token/bigram arithmetic; bigram positions =
+    # n-1, most-frequent counts via per-(doc, gram) aggregation
+    out["repetition_stats"] = f"""
+        WITH b AS (SELECT doc_id, {toks} AS t FROM documents),
+        n AS (SELECT doc_id, len(t)::DOUBLE AS n,
+                     len(list_distinct(t))::DOUBLE AS nd FROM b),
+        tok AS (
+          SELECT doc_id, max(c)::DOUBLE AS tok_max FROM (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, UNNEST(t) AS g FROM b) GROUP BY 1, 2)
+          GROUP BY doc_id),
+        big AS (
+          SELECT doc_id, max(c)::DOUBLE AS big_max FROM (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+                  FROM b, UNNEST(range(1, len(t))) u(i)
+                  WHERE len(t) >= 2) GROUP BY 1, 2)
+          GROUP BY doc_id)
+        SELECT n.doc_id,
+               round(coalesce(tok_max, 0) / greatest(n.n, 1.0), 4)
+                   AS top_token_frac,
+               round(coalesce(big_max, 0) / greatest(n.n - 1.0, 1.0), 4)
+                   AS top_bigram_frac,
+               round(CASE WHEN n.n > 0 THEN 1.0 - n.nd / n.n
+                          ELSE 0.0 END, 4) AS dup_token_frac
+        FROM n LEFT JOIN tok USING (doc_id) LEFT JOIN big USING (doc_id)
     """
     # decontaminate: same 4-gram shingling in both engines; eval slice =
     # doc_id < 5, training slice = the rest

@@ -80,6 +80,75 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Within-document repetition ratios (Gopher-style repetition
+    filters, token-granular): (doc_id, top_token_frac, top_bigram_frac,
+    dup_token_frac).
+
+      top_token_frac  = occurrences of the most frequent token / tokens
+      top_bigram_frac = occurrences of the most frequent word bigram /
+                        bigram positions
+      dup_token_frac  = 1 − distinct tokens / tokens (mass in repeats)
+
+    All ratios round to 4 decimals (oracle contract). Everything is
+    explode → partial-aggregated groupBy on (doc, gram) → max per doc —
+    two skew-free shuffles whose keys are (doc_id, token); no Python.
+    """
+    toks = tokens_col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_t"),
+        F.size(toks).cast("double").alias("_n"),
+    )
+    t = F.col("_t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok_max = (
+        base.select("doc_id", F.explode("_t").alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("tok_max"))
+    )
+    big_max = (
+        base.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g").count()
+        .groupBy("doc_id").agg(F.max("count").alias("big_max"))
+    )
+    return (
+        base.select(
+            "doc_id",
+            "_n",
+            F.size(F.array_distinct("_t")).cast("double").alias("_nd"),
+        )
+        .join(tok_max, "doc_id", "left")
+        .join(big_max, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce("tok_max", F.lit(0)) / F.greatest("_n", F.lit(1.0)),
+                4,
+            ).alias("top_token_frac"),
+            F.round(
+                F.coalesce("big_max", F.lit(0))
+                / F.greatest(F.col("_n") - 1.0, F.lit(1.0)),
+                4,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.when(
+                    F.col("_n") > 0, 1.0 - F.col("_nd") / F.col("_n")
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("dup_token_frac"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-insensitive content fingerprint:
     md5 over the sorted distinct token list — stable under token
