@@ -336,6 +336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bigram / duplicate-token mass), token-granular, no Python
         return textstats.repetition_stats(_load(spark, sf, "documents"))
 
+    def scrub_pii(spark, sf):
+        # URL/email/IPv4 redaction + counts, patterns in the Java/RE2
+        # common subset (textstats.SCRUB_PATTERNS) so DuckDB mirrors the
+        # byte-exact redacted text; one codegen projection, no shuffle
+        return textstats.scrub_text(_load(spark, sf, "documents"))
+
     def json_props(spark, sf):
         # semi-structured metadata extraction (training-data pipelines carry
         # per-record JSON sidecars): schema-on-read via from_json — stays in
@@ -711,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": json_props,
         "fingerprint": fingerprint,
         "repetition_stats": repetition_stats,
+        "scrub_pii": scrub_pii,
         "kg_mentions": kg_mentions,
         "w7_pmi_labels": w7_pmi_labels,
         "g10_ngd": g10_ngd,
@@ -1594,6 +1601,29 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, 'quality', n2, round(n2 / n0::DOUBLE, 4) FROM a
         UNION ALL SELECT 3, 'exact_dedup', n3,
                          round(n3 / n0::DOUBLE, 4) FROM a
+    """
+    # scrub_pii: the SAME pattern literals (textstats.SCRUB_PATTERNS),
+    # applied in the same order, each counting on the text it actually
+    # sees — so text_clean is byte-identical across engines
+    _p = {name: pat for name, pat, _ in textstats.SCRUB_PATTERNS}
+    out["scrub_pii"] = f"""
+        WITH s1 AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{_p["url"]}'))::BIGINT
+                     AS n_url,
+                 regexp_replace(text, '{_p["url"]}', '<URL>', 'g') AS t1
+          FROM documents),
+        s2 AS (
+          SELECT doc_id, n_url,
+                 len(regexp_extract_all(t1, '{_p["email"]}'))::BIGINT
+                     AS n_email,
+                 regexp_replace(t1, '{_p["email"]}', '<EMAIL>', 'g') AS t2
+          FROM s1)
+        SELECT doc_id,
+               regexp_replace(t2, '{_p["ipv4"]}', '<IP>', 'g') AS text_clean,
+               n_url, n_email,
+               len(regexp_extract_all(t2, '{_p["ipv4"]}'))::BIGINT AS n_ipv4
+        FROM s2
     """
     # repetition_stats: same token/bigram arithmetic; bigram positions =
     # n-1, most-frequent counts via per-(doc, gram) aggregation

@@ -149,6 +149,38 @@ def repetition_stats(
     )
 
 
+# scrub patterns live in the Java-regex / RE2 (DuckDB) common subset so
+# both engines redact identically; applied URL → email → IPv4 (a URL may
+# contain an @userinfo that the email pattern would otherwise eat)
+SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_text(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII/link redaction pass: (doc_id, text_clean, n_url, n_email,
+    n_ipv4). Counts are measured on the text each pattern actually sees
+    (after the previous redactions), so counts + replacements form one
+    consistent pipeline. Pure `regexp_replace`/`regexp_count` — JVM
+    codegen, one projection, no shuffle, no Python."""
+    col = F.col(text_col)
+    counts = []
+    for name, pat, repl in SCRUB_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        col = F.regexp_replace(col, pat, repl)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), col.alias("text_clean"), *counts
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Order-insensitive content fingerprint:
     md5 over the sorted distinct token list — stable under token
