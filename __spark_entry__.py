@@ -443,6 +443,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return final_sessions(emitted)
 
+    def stream_kg_canon(spark, sf):
+        # STREAMING twin of the flagship extraction: readStream over the
+        # repos fixture (two file slices) → the same mapInPandas
+        # extract_triples (stateless on a stream) → canonical groupBy in
+        # complete mode. Gated by the independent pandas oracle's exact
+        # canon (golden VALUES) — streaming construction must converge to
+        # the batch KG bit-for-bit.
+        import os
+        import tempfile
+
+        from entitysummarization_spark.fixtures import make_fixture
+        from entitysummarization_spark.operators.canonicalize import (
+            canonical_triples,
+        )
+        from entitysummarization_spark.operators.extraction import (
+            extract_triples,
+        )
+
+        fx = make_fixture(n_files=60, seed=42)
+        key = "__repos60__"
+        d = _STREAM_DIRS.get(key)
+        if d is None:
+            d = tempfile.mkdtemp(prefix="esum_repos_stream_")
+            half = len(fx.repos) // 2
+            fx.repos.iloc[:half].to_parquet(
+                os.path.join(d, "000.parquet"), index=False
+            )
+            fx.repos.iloc[half:].to_parquet(
+                os.path.join(d, "001.parquet"), index=False
+            )
+            _STREAM_DIRS[key] = d
+        schema = spark.read.parquet(d).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        canon = canonical_triples(extract_triples(spark, stream, fx.vocab))
+        return run_stream_once(
+            canon, "stream_kg_canon_q", output_mode="complete"
+        )
+
     def simhash(spark, sf):
         # md5-bit variant: bit-for-bit reproducible in DuckDB (the
         # xxhash64 simhash64 stays as the raw-throughput path, pytest-only)
@@ -725,6 +767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": sessions,
         "first_touch_attr": first_touch_attr,
         "stateful_sessions": stateful_sessions,
+        "stream_kg_canon": stream_kg_canon,
         "a10_tfidf": a10_tfidf,
         "g14_tfidf_cosine": g14_tfidf_cosine,
         "g14_tfidf_cosine_capped": g14_tfidf_cosine_capped,
@@ -1537,11 +1580,14 @@ def oracle_sql() -> dict[str, str]:
     # Multi-partition bit-parity is additionally pytest-gated
     # (tests/test_pipeline_oracle.py).
     from entitysummarization_spark.models.pipeline_oracle import (
+        canon_values_sql,
         pipeline_oracle,
         summaries_values_sql,
     )
 
     po = pipeline_oracle(n_files=60, seed=42, n_sweeps=3, k=3, n_partitions=4)
+    # the streaming extraction twin must converge to the exact batch canon
+    out["stream_kg_canon"] = canon_values_sql(po["canon"])
     # star CC converges to the same true components the recursive CTE
     # computes — identical oracle
     out["g4_cc_star"] = out["g4_connected_components"]

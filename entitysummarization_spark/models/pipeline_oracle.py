@@ -162,3 +162,23 @@ def summaries_values_sql(summaries: pd.DataFrame) -> str:
         FROM (VALUES {vals})
              t(doc_id, subj, rank, pred, obj, theta, phi, score)
     """
+
+
+def canon_values_sql(canon) -> str:
+    """DuckDB golden-VALUES oracle for the canonical-triples table — the
+    independently-computed (subj, pred, obj, freq) inlined as literals,
+    used to gate the STREAMING extraction twin (readStream → mapInPandas
+    extract → groupBy canon must converge to the exact batch canon)."""
+    vals = ",\n".join(
+        "('{}', '{}', '{}', {})".format(
+            str(r.subj).replace("'", "''"),
+            str(r.pred).replace("'", "''"),
+            str(r.obj).replace("'", "''"),
+            int(r.freq),
+        )
+        for r in canon.itertuples(index=False)
+    )
+    return f"""
+        SELECT subj, pred, obj, freq::BIGINT AS freq
+        FROM (VALUES {vals}) t(subj, pred, obj, freq)
+    """
