@@ -732,7 +732,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " bad_theta_docs long, neg_rows long, missing_words long",
         )
 
+    # Registration order matters: the driver certifies the FIRST 50 entries
+    # (r03 checked exactly positions 1-50 of 55).  The flagship pipeline and
+    # the four queries that have never had a driver row come first; the five
+    # redundant twins (each operator they cover has another driver-checked
+    # query: F12 cap -> dedup_ngram_jaccard_capped, G4 -> g4_connected_
+    # components, G7 walk -> textrank, lang-ID -> lang_id, sessionization ->
+    # stateful_sessions; all five remain pytest-gated) sit last so they are
+    # the ones that fall outside a 50-query cap.
     return {
+        "kg_pipeline_summaries": kg_pipeline_summaries,
+        "kg_pipeline_invariants": kg_pipeline_invariants,
+        "m8_lda_invariants": m8_lda_invariants,
+        "ann_ivf_topk": ann_ivf_topk,
+        "simhash": simhash,
         "a1_word_freq": a1_word_freq,
         "a2_corpus_stats": a2_corpus_stats,
         "f10_vocab_prune": f10_vocab_prune,
@@ -752,7 +765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate,
         "ann_cosine_topk": ann_cosine_topk,
         "lang_id": lang_id,
-        "lang_id_ngram": lang_id_ngram,
         "quality": quality,
         "token_stats": token_stats,
         "bpe_token_stats": bpe_token_stats,
@@ -764,17 +776,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_pmi_labels": w7_pmi_labels,
         "g10_ngd": g10_ngd,
         "stream_window_counts": stream_window_counts,
-        "sessions": sessions,
         "first_touch_attr": first_touch_attr,
         "stateful_sessions": stateful_sessions,
         "stream_kg_canon": stream_kg_canon,
         "a10_tfidf": a10_tfidf,
         "g14_tfidf_cosine": g14_tfidf_cosine,
-        "g14_tfidf_cosine_capped": g14_tfidf_cosine_capped,
         "f6_valid_names": f6_valid_names,
         "g4_connected_components": g4_connected_components,
-        "g4_cc_star": g4_cc_star,
-        "g7_pagerank": g7_pagerank,
         "g5_hits": g5_hits,
         "w3_core_nodes": w3_core_nodes,
         "o3_ancestors": o3_ancestors,
@@ -783,11 +791,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_doc_core": per_doc_core,
         "textrank": textrank,
         "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "simhash": simhash,
-        "kg_pipeline_summaries": kg_pipeline_summaries,
-        "kg_pipeline_invariants": kg_pipeline_invariants,
-        "m8_lda_invariants": m8_lda_invariants,
+        # ---- positions 51-55: redundant twins, outside the driver's cap ----
+        "lang_id_ngram": lang_id_ngram,
+        "sessions": sessions,
+        "g14_tfidf_cosine_capped": g14_tfidf_cosine_capped,
+        "g4_cc_star": g4_cc_star,
+        "g7_pagerank": g7_pagerank,
     }
 
 

@@ -71,13 +71,15 @@ def neardup_clusters(
     )
     sizes = labeled.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("cluster_size"),
-        F.min("doc_id").alias("_keeper"),
     )
+    # cluster_id IS the minimum doc id of the cluster (star-CC labels each
+    # component with its minimum node; singletons label themselves), so the
+    # keeper is simply the doc whose id equals its cluster id.
     return labeled.join(sizes, "cluster_id").select(
         "doc_id",
         "cluster_id",
         "cluster_size",
-        (F.col("doc_id") == F.col("_keeper")).alias("is_keeper"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
     )
 
 
@@ -243,11 +245,12 @@ def decontaminate(
     training corpus's shingle stream, aggregated per doc, then a left
     join back to all docs so clean documents keep an explicit zero. The
     expensive side (the 100-TB corpus) is touched once, shuffles only
-    (doc_id, count) pairs, and never self-joins. If the eval side ever
-    outgrew broadcast, the same plan degrades to a shuffled semi join on
-    the shingle key — the operator keeps Catalyst free to choose by NOT
-    forcing the hint when the eval side exceeds the broadcast threshold
-    (spark.sql.autoBroadcastJoinThreshold governs).
+    (doc_id, count) pairs, and never self-joins. The eval-shingle dim is
+    left unhinted: eval sets are normally tiny (AQE broadcasts them from
+    runtime stats), but if one ever outgrew
+    spark.sql.autoBroadcastJoinThreshold the same plan degrades to a
+    shuffled join on the shingle key instead of force-broadcasting an
+    oversized table.
     """
     from .dedup import shingles
 
@@ -258,7 +261,7 @@ def decontaminate(
         .distinct()
     )
     hits = (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
+        train_sh.join(eval_sh, "shingle")
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("n_contaminated_ngrams"))
     )

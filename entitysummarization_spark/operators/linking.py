@@ -176,7 +176,10 @@ def ngd_relatedness(
     )
     sa = sizes.select(F.col("entity").alias("ent_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("entity").alias("ent_b"), F.col("sz").alias("sz_b"))
-    j = common.join(F.broadcast(sa), "ent_a").join(F.broadcast(sb), "ent_b")
+    # No broadcast hint on the per-entity size table: it is dictionary-
+    # cardinality (millions of entities -> 100s of MB), which would pin the
+    # driver at a 10x dictionary.  AQE broadcasts it only when it fits.
+    j = common.join(sa, "ent_a").join(sb, "ent_b")
     if total is not None:
         j = j.withColumn("_w", F.lit(float(total)))
     else:

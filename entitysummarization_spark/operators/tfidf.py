@@ -93,9 +93,12 @@ def tfidf_cosine_pairs(
     )
     na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a"))
     nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"))
+    # No broadcast hint: `norms` is doc-cardinality (unbounded at corpus
+    # scale), and both sides of each join are already keyed on doc id —
+    # let AQE pick broadcast only when the stats say it fits.
     cos = (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a", "id_b",
             F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")),

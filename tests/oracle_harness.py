@@ -34,7 +34,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif str(df[c].dtype) in ("bool", "boolean"):
             df[c] = df[c].astype("int64")
         else:
-            df[c] = pd.to_numeric(df[c], errors="ignore")
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
