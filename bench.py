@@ -1,7 +1,10 @@
 #!/usr/bin/env python
 """Benchmark harness — headline queries + KG-pipeline scaling throughput.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (headline + per-query secs + triples/sec +
+scaling efficiency/minima/ceiling — sized to survive a ~2 kB stdout tail
+capture); the bulky per-pair / per-trial / ceiling-sample evidence is
+written to BENCH_EVIDENCE.json beside this file and echoed to stderr:
   {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...},
    "sf": ..., "triples_per_sec": ..., "scaling": {...}}
 
@@ -62,6 +65,10 @@ SCALING_MAX_MAP_PAIRS = 4   # adaptive-extension cap (map)
 SCALING_WALL_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALING_WALL",
                                            "1700"))
 SCALING_CORES = (4, 16)     # N and 4N
+# single source of truth for "clean": an in-trial sensor sample (or a
+# pre-pair probe deciding burst-aware mode) below this fraction of the
+# reference marks the window dirty; at/above it a trial certifies clean
+CLEAN_THR = 0.85
 # both legs process the IDENTICAL partition decomposition: on a real
 # cluster the dataset's split count is a property of the data (file
 # splits), not of how many executors read it — giving the small leg
@@ -217,6 +224,25 @@ def scaling_server(n: int) -> None:
 
         repos = _repos_df(spark, REPLICATE, SCALING_PARTS)
         n_files = repos.count()
+        # Pre-build (and pre-plan) each trial's DataFrame OUTSIDE the timed
+        # window: per-trial fixed cost structurally DEFLATES the efficiency
+        # reading — eff = (4c+f)/(4c+4f) < 1 even for a perfectly scaling
+        # job — and plan analysis is ~0.2-0.4 s of that f. A FRESH Dataset
+        # per trial is mandatory: re-collecting the same Dataset resubmits
+        # the same RDD DAG and the DAGScheduler silently REUSES completed
+        # shuffle map stages (measured: the whole extraction skipped,
+        # 0.06 s "trials").
+        def build_chain():
+            df = _extract_job(spark, repos, fx.vocab)
+            df._jdf.queryExecution().executedPlan()  # pre-pay planning
+            return df
+
+        def build_map():
+            df = extract_triples(spark, repos, fx.vocab)
+            df._jdf.queryExecution().executedPlan()
+            return df
+
+        pending = {"chain": build_chain(), "map": build_map()}
         # untimed FULL-SIZE passes until stable: the first big job grows
         # the JVM heap under full-GC pauses (warmup at replicate=4
         # doesn't — measured ~2x penalty on the first timed trial), and
@@ -226,26 +252,29 @@ def scaling_server(n: int) -> None:
         prev = None
         for _ in range(3):
             t0 = time.perf_counter()
-            _noop(_extract_job(spark, repos, fx.vocab))
+            _extract_job(spark, repos, fx.vocab).collect()
             dt = time.perf_counter() - t0
             if prev is not None and dt >= 0.9 * prev:
                 break
             prev = dt
+        extract_triples(spark, repos, fx.vocab).count()  # warm count shape
         print(json.dumps({"ready": True, "n": n, "n_files": n_files}),
               flush=True)
         for line in sys.stdin:
             cmd = line.strip()
             if cmd == "quit" or not cmd:
                 break
+            job = pending.get(cmd)
             t0 = time.perf_counter()
             if cmd == "chain":
-                row = _extract_job(spark, repos, fx.vocab).collect()[0]
+                row = job.collect()[0]
                 nt = int(row["n_triples"])
             else:  # "map"
-                nt = extract_triples(spark, repos, fx.vocab).count()
+                nt = job.count()
             dt = time.perf_counter() - t0
             print(json.dumps({"t": round(dt, 2), "n_triples": nt}),
                   flush=True)
+            pending[cmd] = build_chain() if cmd == "chain" else build_map()
     finally:
         spark.stop()
 
@@ -421,9 +450,14 @@ def scaling_run(
     # inside a busy hour under-reads, making every window look "clean"
     ref_cache = "/tmp/spark_graft_bench/probe_ref.json"
     probe_ref = max(_mp_probe(cpus=probe_cpus), _mp_probe(cpus=probe_cpus))
+    cached_sensor_refs: dict[str, float] = {}
     try:
         with open(ref_cache) as fh:
-            probe_ref = max(probe_ref, float(json.load(fh)["ref"]))
+            cached = json.load(fh)
+        probe_ref = max(probe_ref, float(cached["ref"]))
+        cached_sensor_refs = {
+            k: float(v) for k, v in cached.get("sensor", {}).items()
+        }
     except (OSError, ValueError, KeyError):
         pass
     servers = {n: _spawn_server(n, pin, pin_sets[n]) for n in SCALING_CORES}
@@ -480,6 +514,17 @@ def scaling_run(
 
         it_refs: dict[tuple, float] = {}   # running-max thr per sampled set
         it_min = {n4: [], n16: []}         # per chain trial: (worst, set)
+        # Calibrate each sensor core set BEFORE any trial runs (3 samples,
+        # keep the max) and fold in the cross-run cached reference: without
+        # an absolute seed the first trials are judged only against their
+        # own in-trial max, so a trial run entirely inside a flat
+        # contention window self-certifies clean (worst ≈ its own max).
+        if sensor_on:
+            for key in {sensor_cpus(n4), sensor_cpus(n16)}:
+                seed = max(_probe_once(key) for _ in range(3))
+                ck = ",".join(str(c) for c in key)
+                seed = max(seed, cached_sensor_refs.get(ck, 0.0))
+                it_refs[key] = seed
 
         def timed_trial(n: int, kind: str):
             samples: list[float] = []
@@ -509,10 +554,11 @@ def scaling_run(
 
         def clean_trials(n: int) -> int:
             # chain trials of leg n whose worst in-trial sample stayed
-            # ≥85% of the running-max reference for the sampled core set
+            # ≥CLEAN_THR of the (calibration-seeded, running-max)
+            # reference for the sampled core set
             return sum(
                 1 for worst, key in it_min[n]
-                if it_refs.get(key) and worst >= 0.85 * it_refs[key]
+                if it_refs.get(key) and worst >= CLEAN_THR * it_refs[key]
             )
 
         def legs_clean() -> bool:
@@ -529,19 +575,24 @@ def scaling_run(
             # A single 1-2 s probe under-detects bursts (it gets scheduled
             # into a gap while a 100%-duty 40 s trial cannot — measured:
             # probe 0.9×ref with in-trial sensors at 0.25), so once the
-            # PREVIOUS pair's in-trial sensor read dirty, gate on the MIN
-            # of three probes spread over ~8 s instead
+            # PREVIOUS pair's in-trial sensor read below the clean
+            # threshold, gate on the MIN of three probes spread over ~8 s
+            # instead (same CLEAN_THR the certification uses — a pair
+            # reading between "dirty" and "clean" must not fall through)
             last_dirty = bool(pair_rows) and any(
-                r is not None and r < 0.7
+                r is not None and r < CLEAN_THR
                 for r in (pair_rows[-1].get("in_trial_4"),
                           pair_rows[-1].get("in_trial_16"))
             )
             while True:
                 if last_dirty:
                     ps = []
+                    t_probe0 = time.perf_counter()
                     for _ in range(3):
                         ps.append(_mp_probe(cpus=probe_cpus))
                         time.sleep(3)
+                    # triple-probe time is parked time too — charge it
+                    wait_budget[0] -= time.perf_counter() - t_probe0
                     probe = min(ps)
                     probe_ref = max(probe_ref, max(ps))
                 else:
@@ -672,8 +723,12 @@ def scaling_run(
                 p.terminate()
     try:
         os.makedirs(os.path.dirname(ref_cache), exist_ok=True)
+        sensor_out = dict(cached_sensor_refs)
+        for key, v in it_refs.items():
+            ck = ",".join(str(c) for c in key)
+            sensor_out[ck] = max(sensor_out.get(ck, 0.0), v)
         with open(ref_cache, "w") as fh:
-            json.dump({"ref": probe_ref}, fh)
+            json.dump({"ref": probe_ref, "sensor": sensor_out}, fh)
     except OSError:
         pass
     chain_ratios = sorted(
@@ -704,6 +759,9 @@ def scaling_run(
         "n_files": n_files,
         "n_triples": n_triples,
         "n_chain_pairs": n_chain,
+        "min_chain_sec": {
+            str(n): round(min(trials[n]), 2) for n in SCALING_CORES
+        },
         "trials_sec": {str(n): trials[n] for n in SCALING_CORES},
         "map_trials_sec": {str(n): map_trials[n] for n in SCALING_CORES},
         f"triples_per_sec_local{n4}": round(thr[n4], 1),
@@ -728,6 +786,16 @@ def scaling_run(
         "in_trial_sensor": sensor_on,
         "clean_chain_trials": {
             str(n): clean_trials(n) for n in SCALING_CORES
+        },
+        # per chain trial: worst in-trial sample vs the FINAL reference
+        # (clean certification recomputes against the end-of-run ref, so
+        # these can read lower than the pair rows' at-the-time ratios)
+        "clean_detail": {
+            str(n): [
+                round(worst / it_refs[key], 3) if it_refs.get(key) else None
+                for worst, key in it_min[n]
+            ]
+            for n in SCALING_CORES
         },
         "contended": all(r["probe_ratio"] < 0.8 for r in pair_rows),
         "hw_ceiling_4x": hw_ceiling,
@@ -839,6 +907,60 @@ def ensure_fixture() -> "object":
     return fx
 
 
+def gibbs_sweep_bench(spark, fx, replicate: int = 100,
+                      n_partitions: int = 8) -> dict:
+    """Per-sweep wall time of the distributed sampler, fast vs reference
+    kernel, on the extraction corpus (min-of-2 sweeps each).
+
+    n_partitions=8 (not CPUS) so each partition carries ~500 k tokens —
+    the 100-TB-realistic regime where per-partition kernel compute
+    dominates the fixed per-sweep Spark cost (mapInPandas job launch +
+    count refresh, ~1.5 s); at CPUS partitions on the small fixture the
+    fixed cost hides the kernel entirely. End-to-end time still includes
+    that fixed cost, so the e2e ratio under-states the pure kernel
+    speedup (~4.5× measured single-core) — both are reported."""
+    import pyspark.sql.functions as F
+
+    from entitysummarization_spark.models.gibbs import (
+        DistributedGibbs,
+        GibbsConfig,
+    )
+    from entitysummarization_spark.operators.canonicalize import (
+        canonical_triples,
+    )
+    from entitysummarization_spark.operators.corpus import build_corpus
+    from entitysummarization_spark.operators.extraction import extract_triples
+
+    repos = _repos_df(spark, replicate, CPUS * 2)
+    canon = canonical_triples(extract_triples(spark, repos, fx.vocab)).persist()
+    b = build_corpus(canon)
+    P, W = b.preds.count(), b.words.count()
+    n_tokens = int(b.corpus.agg(F.sum("freq")).collect()[0][0])
+    out = {"tokens": n_tokens, "n_preds": P, "n_words": W,
+           "n_partitions": n_partitions}
+    for kern in ("fast", "reference"):
+        cfg = GibbsConfig(n_preds=P, n_words=W, base_seed=11,
+                          n_partitions=n_partitions, kernel=kern)
+        g = DistributedGibbs(spark, b.corpus, b.obj_pred, b.lam, cfg)
+        g.init_state()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            g.sweep()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        out[f"sweep_sec_{kern}"] = round(best, 3)
+        print(f"[gibbs] kernel={kern} sweep {best:.3f}s "
+              f"({n_tokens / best:.0f} tok/s)", file=sys.stderr)
+    out["tok_per_sec_fast"] = round(n_tokens / out["sweep_sec_fast"], 1)
+    out["e2e_speedup"] = round(
+        out["sweep_sec_reference"] / out["sweep_sec_fast"], 2
+    )
+    canon.unpersist()
+    repos.unpersist()
+    return out
+
+
 def main() -> None:
     t_all = time.perf_counter()
     fx = ensure_fixture()
@@ -861,6 +983,8 @@ def main() -> None:
             best = dt if best is None or dt < best else best
         queries["kg_extract_canon"] = round(best, 3)
         triples_per_sec = round(int(row["n_triples"]) / best, 1)
+        repos.unpersist()
+        gibbs = gibbs_sweep_bench(spark, fx)
     finally:
         spark.stop()
 
@@ -873,11 +997,40 @@ def main() -> None:
         "queries": queries,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "triples_per_sec": triples_per_sec,
+        "gibbs": gibbs,
         "wall_total_sec": round(time.perf_counter() - t_all, 1),
     }
     if scaling is not None:
+        # The driver captures only the TAIL of stdout (r03's final line
+        # outgrew a 2 kB window and the round recorded no timings), so the
+        # single stdout line carries the headline numbers only; the bulky
+        # per-pair/per-trial evidence goes to BENCH_EVIDENCE.json next to
+        # this file (committed with the repo) and to stderr.
+        evidence = {
+            k: scaling.pop(k)
+            for k in (
+                "method", "trials_sec", "map_trials_sec",
+                "efficiency_paired_rounds", "pairs", "hw_ceiling_samples",
+            )
+            if k in scaling
+        }
+        ev_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_EVIDENCE.json",
+        )
+        full = {"headline": dict(result), "scaling": dict(scaling),
+                "scaling_evidence": evidence}
+        print("[evidence] " + json.dumps(full), file=sys.stderr)
+        try:
+            with open(ev_path, "w") as fh:
+                json.dump(full, fh, indent=1)
+            scaling["evidence_file"] = os.path.basename(ev_path)
+        except OSError:
+            pass
         result["scaling"] = scaling
-    print(json.dumps(result))
+    line = json.dumps(result)
+    print(f"[final-line] {len(line)} bytes", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -19,12 +19,24 @@ matrices. Distributed, that becomes the AD-LDA scheme (Newman et al. 2009,
 Scale: only P×W counts ever reach the driver (bounded by the F10
 vocabulary prune); token state is never collected. Per sweep: one
 mapInPandas pass (no shuffle — partitioning by doc_id is established once
-and reused) + one aggregation to refresh global counts.
+and reused) + one aggregation to refresh global counts. Each sweep's
+state is localCheckpoint-ed (lineage truncation: O(1) plan size and the
+per-sweep count broadcast becomes destroyable — at 1000 sweeps an
+undestroyed broadcast per sweep is an unbounded leak; the soak test in
+test_gibbs_kernels.py runs 100+ sweeps asserting both stay flat).
 Checkpoint/resume per north_rule: plans/checkpoint.py.
+
+Two doc-sweep kernels, bit-identical by construction (same seeded-RNG
+contract, same IEEE op order): _sweep_doc_reference is the per-token
+NumPy transcription the oracle parity tests arbitrate against;
+_sweep_doc_fast (the default) replaces the per-token tiny-array NumPy
+dispatches with cached-per-word scalar arithmetic for ~5× sweep
+throughput. GibbsConfig.kernel selects.
 """
 
 from __future__ import annotations
 
+from bisect import bisect_right
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -33,9 +45,121 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .oracle import alpha_from_neighbors, rng_for
+from .oracle import alpha_from_neighbors, reseed, rng_for
 
 STATE_SCHEMA = "doc_id long, words array<long>, zs array<long>"
+
+
+def _sweep_doc_reference(
+    ws, zs, nd, nwp, np_, cand, lam, slb, beta, alpha, av, a_sum, rng
+):
+    """Per-token NumPy kernel — the arbiter both the NumPy oracle and the
+    fast kernel are held bit-identical to (EntSumModel.java:133-192
+    semantics). One rng.rand() per token, CDF over the word's candidate
+    predicates, in-place count updates. Mutates zs/nd/nwp/np_."""
+    ndoc = len(ws)
+    use_m3 = av is not None
+    for i in range(ndoc):
+        w, p_old = int(ws[i]), int(zs[i])
+        nd[p_old] -= 1
+        nwp[p_old, w] -= 1
+        np_[p_old] -= 1
+        c = cand[w]
+        a_c = av[c] if use_m3 else alpha
+        probs = (
+            (nd[c] + a_c) / (ndoc - 1 + a_sum)
+            * (nwp[c, w] + lam[c, w] * beta)
+            / (np_[c] + slb[c])
+        )
+        cdf = np.cumsum(probs)
+        u = rng.rand() * cdf[-1]
+        p_new = int(
+            c[int(np.searchsorted(cdf, u, side="right").clip(0, len(c) - 1))]
+        )
+        zs[i] = p_new
+        nd[p_new] += 1
+        nwp[p_new, w] += 1
+        np_[p_new] += 1
+
+
+def _sweep_doc_fast(
+    ws_l, zs_l, nd, nwp_flat, np_l, W, word_cache, cand, lam, slb, beta,
+    alpha, av, a_sum, rng
+):
+    """Scalar-Python twin of _sweep_doc_reference, BIT-IDENTICAL by
+    construction (test_gibbs_kernels.py asserts it):
+
+      - rng.rand(ndoc) pre-draws the token uniforms — MT19937 emits the
+        same double sequence batched or one-at-a-time;
+      - each candidate's probability is computed with the exact IEEE-754
+        op order of the reference's elementwise expression, and the
+        running CDF sum reproduces np.cumsum's sequential accumulation
+        (0.0 + x == x exactly, probabilities are non-negative);
+      - bisect_right == np.searchsorted(side="right").
+
+    Why it is faster (~5×): the reference pays ~6 NumPy dispatches on
+    len(c)-sized arrays PER TOKEN (µs each on tiny arrays); here the
+    candidate loop is plain-float arithmetic over per-word cached lists
+    (candidates, flat nwp offsets, λ·β, Σλβ — all sweep-constant), and the
+    only NumPy touched per token is two flat int64 reads/writes. Mutates
+    zs_l/nd/np_l (python lists) and nwp_flat (flat int64) in place."""
+    ndoc = len(ws_l)
+    denom = ndoc - 1 + a_sum
+    # .tolist() / int()/float() conversions are bit-exact; keeping every
+    # operand a plain python float/int matters because np.float64 SCALAR
+    # arithmetic pays a ufunc dispatch (~10× a float op) per operation
+    us = rng.rand(ndoc).tolist()
+    a_l = av.tolist() if av is not None else None
+    item = nwp_flat.item
+    for i in range(ndoc):
+        w = ws_l[i]
+        p_old = zs_l[i]
+        nd[p_old] -= 1
+        np_l[p_old] -= 1
+        nwp_flat[p_old * W + w] -= 1
+        ent = word_cache.get(w)
+        if ent is None:
+            c_l = [int(x) for x in cand[w]]
+            ent = (
+                c_l,
+                list(zip(
+                    c_l,
+                    [cj * W + w for cj in c_l],
+                    [float(lam[cj, w]) * beta for cj in c_l],
+                    [float(slb[cj]) for cj in c_l],
+                )),
+            )
+            word_cache[w] = ent
+        c_l, rows = ent
+        total = 0.0
+        cdf = []
+        push = cdf.append
+        if a_l is None:
+            for cj, off, lb, sl in rows:
+                total = total + (
+                    (nd[cj] + alpha) / denom
+                    * (item(off) + lb)
+                    / (np_l[cj] + sl)
+                )
+                push(total)
+        else:
+            for cj, off, lb, sl in rows:
+                total = total + (
+                    (nd[cj] + a_l[cj]) / denom
+                    * (item(off) + lb)
+                    / (np_l[cj] + sl)
+                )
+                push(total)
+        u = us[i] * total
+        k = bisect_right(cdf, u)
+        last = len(c_l) - 1
+        if k > last:
+            k = last
+        p_new = c_l[k]
+        zs_l[i] = p_new
+        nd[p_new] += 1
+        np_l[p_new] += 1
+        nwp_flat[p_new * W + w] += 1
 
 
 @dataclass
@@ -53,6 +177,10 @@ class GibbsConfig:
     # only category-word TF-IDF entries are set
     # (sontoldamodel/SontoLDA.java:524-531, used at :138-139).
     lam_default: float = 1.0
+    # "fast" = scalar-Python kernel (bit-identical, ~5× throughput);
+    # "reference" = the per-token NumPy kernel the oracle parity tests
+    # arbitrate against. Both produce identical z-chains.
+    kernel: str = "fast"
 
     @property
     def alpha_eff(self) -> float:
@@ -129,6 +257,38 @@ class DistributedGibbs:
         self.nwp: np.ndarray | None = None
         self.np_: np.ndarray | None = None
         self.sweeps_done = 0
+        self._bc_prev = None  # previous sweep's count broadcast (see sweep)
+        self._state_handles: list = []  # JavaRDD handles of current state
+
+    def _local_checkpoint(self, df: DataFrame) -> DataFrame:
+        """localCheckpoint(eager) + capture the persisted RDD handles.
+
+        DataFrame.unpersist() is a NO-OP for checkpoint RDDs (they are
+        persisted at the RDD level, bypassing the CacheManager), so
+        without RDD-level release every sweep leaks one cached RDD —
+        unbounded at 1000 sweeps (the soak test guards this). The handles
+        are unpersisted by _release_old_state once the NEXT state is
+        materialized; doing it earlier would destroy live blocks (a
+        checkpointed plan cannot recompute)."""
+        jsc = self.spark.sparkContext._jsc
+        before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+        out = df.localCheckpoint(eager=True)
+        pr = jsc.getPersistentRDDs()
+        old_handles = self._state_handles
+        self._state_handles = [
+            pr.get(i) for i in pr.keySet().toArray() if int(i) not in before
+        ]
+        self._pending_release = old_handles
+        return out
+
+    def _release_old_state(self, old: DataFrame) -> None:
+        old.unpersist()  # covers a plain-persisted state (checkpoint restore)
+        for h in getattr(self, "_pending_release", []):
+            try:
+                h.unpersist(False)
+            except Exception:  # noqa: BLE001 — already released is fine
+                pass
+        self._pending_release = []
 
     # ---- state init ----
     def init_state(self) -> None:
@@ -139,10 +299,11 @@ class DistributedGibbs:
 
         def init_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cand = cand_bc.value
+            rng0 = np.random.RandomState(0)
             for b in batches:
                 zs_col = []
                 for d, ws in zip(b["doc_id"], b["words"]):
-                    rng = rng_for(seed, -1, int(d))
+                    rng = reseed(rng0, seed, -1, int(d))
                     ws = np.asarray(ws, dtype=np.int64)
                     zs = np.empty(len(ws), dtype=np.int64)
                     for i, w in enumerate(ws):
@@ -153,14 +314,19 @@ class DistributedGibbs:
                     {"doc_id": b["doc_id"], "words": b["words"], "zs": zs_col}
                 )
 
-        self.state = (
+        # localCheckpoint (eager) both materializes the state AND truncates
+        # its lineage, so the init broadcast is immediately destroyable —
+        # at 1000 sweeps an undestroyed broadcast per iteration is a leak
+        self.state = self._local_checkpoint(
             toks.repartition(cfg.n_partitions, "doc_id")
             .sortWithinPartitions("doc_id")
             .mapInPandas(init_fn, STATE_SCHEMA)
         )
-        self.state = self.state.persist()
-        self.state.count()
         self._refresh_global_counts()
+        try:
+            cand_bc.destroy()
+        except Exception:  # noqa: BLE001 — already cleaned is fine
+            pass
         self.sweeps_done = 0
 
     # ---- global count refresh (exact, from z-state) ----
@@ -223,21 +389,28 @@ class DistributedGibbs:
         P, alpha, beta, seed = cfg.n_preds, cfg.alpha_eff, cfg.beta, cfg.base_seed
         eps = cfg.epsilon
         use_m3 = self.doc_sr is not None
+        kernel = cfg.kernel
 
         def sweep_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             nwp, np_, cand, lam, slb = bc.value
-            nwp = nwp.copy()  # partition-local working copy (AD-LDA)
-            np_ = np_.copy()
+            # partition-local working copies (AD-LDA): the fast kernel keeps
+            # them as a flat int64 array + python int list, the reference
+            # kernel as the original 2-D array — same update sequence
+            if kernel == "reference":
+                nwp = nwp.copy()
+                np_ = np_.copy()
+            else:
+                W = nwp.shape[1]
+                nwp_flat = nwp.ravel().copy()
+                np_l = [int(x) for x in np_]
+                word_cache: dict = {}
+            rng0 = np.random.RandomState(0)
             for b in batches:
                 zs_col = []
                 nbr_col = b["nbrs"] if use_m3 else [None] * len(b)
                 for d, ws, zs, nbrs in zip(
                     b["doc_id"], b["words"], b["zs"], nbr_col
                 ):
-                    ws = np.asarray(ws, dtype=np.int64)
-                    zs = np.asarray(zs, dtype=np.int64).copy()
-                    nd = np.bincount(zs, minlength=P).astype(np.int64)
-                    ndoc = len(ws)
                     if use_m3:
                         tup = []
                         entries = (
@@ -257,29 +430,27 @@ class DistributedGibbs:
                         a_sum = float(av.sum())
                     else:
                         av, a_sum = None, P * alpha
-                    rng = rng_for(seed, sweep_idx, int(d))
-                    for i in range(ndoc):
-                        w, p_old = int(ws[i]), int(zs[i])
-                        nd[p_old] -= 1
-                        nwp[p_old, w] -= 1
-                        np_[p_old] -= 1
-                        c = cand[w]
-                        a_c = av[c] if use_m3 else alpha
-                        probs = (
-                            (nd[c] + a_c) / (ndoc - 1 + a_sum)
-                            * (nwp[c, w] + lam[c, w] * beta)
-                            / (np_[c] + slb[c])
+                    rng = reseed(rng0, seed, sweep_idx, int(d))
+                    if kernel == "reference":
+                        ws_a = np.asarray(ws, dtype=np.int64)
+                        zs_a = np.asarray(zs, dtype=np.int64).copy()
+                        nd = np.bincount(zs_a, minlength=P).astype(np.int64)
+                        _sweep_doc_reference(
+                            ws_a, zs_a, nd, nwp, np_, cand, lam, slb,
+                            beta, alpha, av, a_sum, rng,
                         )
-                        cdf = np.cumsum(probs)
-                        u = rng.rand() * cdf[-1]
-                        p_new = int(
-                            c[int(np.searchsorted(cdf, u, side="right").clip(0, len(c) - 1))]
+                        zs_col.append(zs_a)
+                    else:
+                        ws_l = np.asarray(ws, dtype=np.int64).tolist()
+                        zs_l = np.asarray(zs, dtype=np.int64).tolist()
+                        nd = [0] * P
+                        for p in zs_l:
+                            nd[p] += 1
+                        _sweep_doc_fast(
+                            ws_l, zs_l, nd, nwp_flat, np_l, W, word_cache,
+                            cand, lam, slb, beta, alpha, av, a_sum, rng,
                         )
-                        zs[i] = p_new
-                        nd[p_new] += 1
-                        nwp[p_new, w] += 1
-                        np_[p_new] += 1
-                    zs_col.append(zs)
+                        zs_col.append(np.asarray(zs_l, dtype=np.int64))
                 yield pd.DataFrame(
                     {"doc_id": b["doc_id"], "words": b["words"], "zs": zs_col}
                 )
@@ -293,18 +464,31 @@ class DistributedGibbs:
             if use_m3
             else old
         )
-        # partitioning by doc_id is already established; mapInPandas preserves it
-        new_state = src.sortWithinPartitions("doc_id").mapInPandas(
-            sweep_fn, STATE_SCHEMA
-        ).persist()
-        new_state.count()
-        old.unpersist()
+        # partitioning by doc_id is already established; mapInPandas
+        # preserves it. localCheckpoint materializes the sweep AND truncates
+        # lineage — without it the plan chains one mapInPandas per sweep
+        # (O(n) plan growth, and every sweep's broadcast stays referenced
+        # for task re-serialization: an unbounded leak at 1000 sweeps).
+        new_state = self._local_checkpoint(
+            src.sortWithinPartitions("doc_id").mapInPandas(
+                sweep_fn, STATE_SCHEMA
+            )
+        )
+        self._release_old_state(old)
         self.state = new_state
         self.sweeps_done += 1
         self._refresh_global_counts()
-        # NOTE: do not destroy() bc — the persisted state's lineage still
-        # references it for task re-serialization; ContextCleaner reclaims it
-        # once the old plan is unreachable.
+        # The PREVIOUS sweep's broadcast is now unreferenced (its state was
+        # checkpointed a sweep ago and unpersisted above) — destroy it
+        # explicitly instead of waiting on ContextCleaner; the current bc is
+        # deferred one sweep out of caution (its checkpoint is eager, but
+        # destroy-after-next-sweep costs nothing).
+        if self._bc_prev is not None:
+            try:
+                self._bc_prev.destroy()
+            except Exception:  # noqa: BLE001 — already cleaned is fine
+                pass
+        self._bc_prev = bc
 
     def run(self, n_sweeps: int) -> None:
         if self.state is None:

@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .gibbs import tokens_from_corpus
-from .oracle import rng_for
+from .oracle import reseed, rng_for
 
 STATE_SCHEMA = (
     "doc_id long, words array<long>, ts array<long>, cs array<long>"
@@ -233,10 +233,11 @@ class DistributedOntoPart:
 
         def init_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             cand = cand_bc.value
+            rng0 = np.random.RandomState(0)
             for b in batches:
                 ts_col, cs_col = [], []
                 for d, ws in zip(b["doc_id"], b["words"]):
-                    rng = rng_for(seed, -1, int(d))
+                    rng = reseed(rng0, seed, -1, int(d))
                     n = len(ws)
                     t_arr = np.empty(n, dtype=np.int64)
                     c_arr = np.empty(n, dtype=np.int64)
@@ -298,6 +299,7 @@ class DistributedOntoPart:
             nwc = nwc.copy()
             nt = nct.sum(axis=1)
             nc = nwc.sum(axis=1)
+            rng0 = np.random.RandomState(0)
             for batch in batches:
                 ts_col, cs_col = [], []
                 for d, ws, ts, cs in zip(
@@ -307,7 +309,7 @@ class DistributedOntoPart:
                     ts = np.asarray(ts, dtype=np.int64).copy()
                     cs = np.asarray(cs, dtype=np.int64).copy()
                     ntd = np.bincount(ts, minlength=T).astype(np.int64)
-                    rng = rng_for(seed, sweep_idx, int(d))
+                    rng = reseed(rng0, seed, sweep_idx, int(d))
                     for i in range(len(ws)):
                         w, t_old, c_old = int(ws[i]), int(ts[i]), int(cs[i])
                         ntd[t_old] -= 1
