@@ -41,6 +41,9 @@ def save_checkpoint(gibbs: DistributedGibbs, path: str) -> str:
         "beta": gibbs.cfg.beta,
         "base_seed": gibbs.cfg.base_seed,
         "n_partitions": gibbs.cfg.n_partitions,
+        # recorded for provenance; both kernels are bit-identical so a
+        # resume under either continues the same z-chain
+        "kernel": gibbs.cfg.kernel,
     }
     tmp = os.path.join(d, "_meta.json.tmp")
     with open(tmp, "w") as f:
@@ -74,6 +77,7 @@ def load_checkpoint(
         n_preds=meta["n_preds"], n_words=meta["n_words"], alpha=meta["alpha"],
         beta=meta["beta"], base_seed=meta["base_seed"],
         n_partitions=meta["n_partitions"],
+        kernel=meta.get("kernel", "fast"),
     )
     g = DistributedGibbs(spark, corpus, obj_pred, lam_df, cfg)
     state = spark.read.parquet(os.path.join(ckpt_dir, "state"))
