@@ -19,6 +19,21 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_registry_order_protects_flagship():
+    """The driver certifies the FIRST 50 registered queries (r03 checked
+    exactly positions 1-50 of 55), so the flagship pipeline and the four
+    queries that lacked a driver row must stay inside the window and only
+    double-covered twins may sit past position 50."""
+    keys = list(QUERIES)
+    assert keys[:5] == [
+        "kg_pipeline_summaries", "kg_pipeline_invariants",
+        "m8_lda_invariants", "ann_ivf_topk", "simhash",
+    ]
+    twins = {"lang_id_ngram", "sessions", "g14_tfidf_cosine_capped",
+             "g4_cc_star", "g7_pagerank"}
+    assert set(keys[50:]) <= twins
+
+
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     rows = df.collect()
