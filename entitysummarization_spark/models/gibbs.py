@@ -48,6 +48,12 @@ from pyspark.sql import functions as F
 from .oracle import alpha_from_neighbors, reseed, rng_for
 
 STATE_SCHEMA = "doc_id long, words array<long>, zs array<long>"
+# a sweep additionally emits the tokens whose topic CHANGED (word, old
+# pred, new pred) so the global-count refresh can aggregate deltas over
+# changed tokens only instead of shuffling every token every sweep
+SWEEP_SCHEMA = (
+    STATE_SCHEMA + ", dw array<long>, dp_old array<long>, dp_new array<long>"
+)
 
 
 def _sweep_doc_reference(
@@ -56,9 +62,14 @@ def _sweep_doc_reference(
     """Per-token NumPy kernel — the arbiter both the NumPy oracle and the
     fast kernel are held bit-identical to (EntSumModel.java:133-192
     semantics). One rng.rand() per token, CDF over the word's candidate
-    predicates, in-place count updates. Mutates zs/nd/nwp/np_."""
+    predicates, in-place count updates. Mutates zs/nd/nwp/np_; returns the
+    changed-token lists (word, old pred, new pred) for the delta-based
+    global-count refresh."""
     ndoc = len(ws)
     use_m3 = av is not None
+    ch_w: list = []
+    ch_old: list = []
+    ch_new: list = []
     for i in range(ndoc):
         w, p_old = int(ws[i]), int(zs[i])
         nd[p_old] -= 1
@@ -80,6 +91,11 @@ def _sweep_doc_reference(
         nd[p_new] += 1
         nwp[p_new, w] += 1
         np_[p_new] += 1
+        if p_new != p_old:
+            ch_w.append(w)
+            ch_old.append(p_old)
+            ch_new.append(p_new)
+    return ch_w, ch_old, ch_new
 
 
 def _sweep_doc_fast(
@@ -102,7 +118,8 @@ def _sweep_doc_fast(
     candidate loop is plain-float arithmetic over per-word cached lists
     (candidates, flat nwp offsets, λ·β, Σλβ — all sweep-constant), and the
     only NumPy touched per token is two flat int64 reads/writes. Mutates
-    zs_l/nd/np_l (python lists) and nwp_flat (flat int64) in place."""
+    zs_l/nd/np_l (python lists) and nwp_flat (flat int64) in place;
+    returns the changed-token lists (word, old pred, new pred)."""
     ndoc = len(ws_l)
     denom = ndoc - 1 + a_sum
     # .tolist() / int()/float() conversions are bit-exact; keeping every
@@ -111,6 +128,9 @@ def _sweep_doc_fast(
     us = rng.rand(ndoc).tolist()
     a_l = av.tolist() if av is not None else None
     item = nwp_flat.item
+    ch_w: list = []
+    ch_old: list = []
+    ch_new: list = []
     for i in range(ndoc):
         w = ws_l[i]
         p_old = zs_l[i]
@@ -160,6 +180,11 @@ def _sweep_doc_fast(
         nd[p_new] += 1
         np_l[p_new] += 1
         nwp_flat[p_new * W + w] += 1
+        if p_new != p_old:
+            ch_w.append(w)
+            ch_old.append(p_old)
+            ch_new.append(p_new)
+    return ch_w, ch_old, ch_new
 
 
 @dataclass
@@ -346,6 +371,42 @@ class DistributedGibbs:
         self.nwp = nwp
         self.np_ = nwp.sum(axis=1)
 
+    # ---- global count refresh (exact, delta-based) ----
+    def _apply_count_deltas(self) -> None:
+        """Refresh nwp/np_ from the sweep's changed tokens only.
+
+        Exact by induction on integer arithmetic: every partition's local
+        AD-LDA updates are (−1 at (p_old, w), +1 at (p_new, w)) per
+        changed token, and summing those deltas over all partitions on top
+        of exact previous counts yields exactly the counts a full
+        recompute from the new z-state gives (bit-parity tests compare
+        final nwp against the NumPy oracle). The win is scale: the old
+        refresh exploded and shuffled EVERY token every sweep; this
+        aggregates only tokens whose topic changed — which collapses as
+        the chain converges (late-sweep change rates are a few percent).
+        Absolute recompute (_refresh_global_counts) remains the init /
+        checkpoint-restore path and the arbiter."""
+        deltas = (
+            self.state.select(
+                F.explode(F.arrays_zip("dw", "dp_old", "dp_new")).alias("t")
+            )
+            .groupBy(
+                F.col("t.dw").alias("w"),
+                F.col("t.dp_old").alias("po"),
+                F.col("t.dp_new").alias("pn"),
+            )
+            .count()
+            .toPandas()
+        )
+        if len(deltas):
+            w = deltas["w"].to_numpy(np.int64)
+            n = deltas["count"].to_numpy(np.int64)
+            np.add.at(self.nwp,
+                      (deltas["po"].to_numpy(np.int64), w), -n)
+            np.add.at(self.nwp,
+                      (deltas["pn"].to_numpy(np.int64), w), n)
+        self.np_ = self.nwp.sum(axis=1)
+
     # ---- M3 neighbor payload (per-doc α smoothing inputs) ----
     def _with_nbr_payload(self, state: DataFrame) -> DataFrame:
         """Attach each doc's sorted SR-neighbor count summaries
@@ -407,6 +468,7 @@ class DistributedGibbs:
             rng0 = np.random.RandomState(0)
             for b in batches:
                 zs_col = []
+                dw_col, dold_col, dnew_col = [], [], []
                 nbr_col = b["nbrs"] if use_m3 else [None] * len(b)
                 for d, ws, zs, nbrs in zip(
                     b["doc_id"], b["words"], b["zs"], nbr_col
@@ -435,7 +497,7 @@ class DistributedGibbs:
                         ws_a = np.asarray(ws, dtype=np.int64)
                         zs_a = np.asarray(zs, dtype=np.int64).copy()
                         nd = np.bincount(zs_a, minlength=P).astype(np.int64)
-                        _sweep_doc_reference(
+                        ch = _sweep_doc_reference(
                             ws_a, zs_a, nd, nwp, np_, cand, lam, slb,
                             beta, alpha, av, a_sum, rng,
                         )
@@ -446,23 +508,32 @@ class DistributedGibbs:
                         nd = [0] * P
                         for p in zs_l:
                             nd[p] += 1
-                        _sweep_doc_fast(
+                        ch = _sweep_doc_fast(
                             ws_l, zs_l, nd, nwp_flat, np_l, W, word_cache,
                             cand, lam, slb, beta, alpha, av, a_sum, rng,
                         )
                         zs_col.append(np.asarray(zs_l, dtype=np.int64))
+                    dw_col.append(np.asarray(ch[0], dtype=np.int64))
+                    dold_col.append(np.asarray(ch[1], dtype=np.int64))
+                    dnew_col.append(np.asarray(ch[2], dtype=np.int64))
                 yield pd.DataFrame(
-                    {"doc_id": b["doc_id"], "words": b["words"], "zs": zs_col}
+                    {"doc_id": b["doc_id"], "words": b["words"],
+                     "zs": zs_col, "dw": dw_col, "dp_old": dold_col,
+                     "dp_new": dnew_col}
                 )
 
         old = self.state
+        # project away a previous sweep's delta columns (their aggregation
+        # already happened) so they neither ride through Arrow nor grow the
+        # checkpoint
+        base = old.select("doc_id", "words", "zs")
         # the payload join re-keys state to spark.sql.shuffle.partitions —
         # restore the sampler's partitioning so the AD-LDA partition count
         # (and with n_partitions=1, oracle bit-parity) is preserved
         src = (
-            self._with_nbr_payload(old).repartition(cfg.n_partitions, "doc_id")
+            self._with_nbr_payload(base).repartition(cfg.n_partitions, "doc_id")
             if use_m3
-            else old
+            else base
         )
         # partitioning by doc_id is already established; mapInPandas
         # preserves it. localCheckpoint materializes the sweep AND truncates
@@ -471,13 +542,13 @@ class DistributedGibbs:
         # for task re-serialization: an unbounded leak at 1000 sweeps).
         new_state = self._local_checkpoint(
             src.sortWithinPartitions("doc_id").mapInPandas(
-                sweep_fn, STATE_SCHEMA
+                sweep_fn, SWEEP_SCHEMA
             )
         )
         self._release_old_state(old)
         self.state = new_state
         self.sweeps_done += 1
-        self._refresh_global_counts()
+        self._apply_count_deltas()
         # The PREVIOUS sweep's broadcast is now unreferenced (its state was
         # checkpointed a sweep ago and unpersisted above) — destroy it
         # explicitly instead of waiting on ContextCleaner; the current bc is

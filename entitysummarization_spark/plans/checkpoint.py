@@ -27,7 +27,11 @@ def save_checkpoint(gibbs: DistributedGibbs, path: str) -> str:
     overwrite (re-running a failed save is safe)."""
     sweep = gibbs.sweeps_done
     d = os.path.join(path, f"sweep={sweep:05d}")
-    gibbs.state.write.mode("overwrite").parquet(os.path.join(d, "state"))
+    # base columns only: a sweep's delta columns are already aggregated
+    # into the driver counts and would only bloat the checkpoint
+    gibbs.state.select("doc_id", "words", "zs").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "state"))
     lineage = gibbs.state.groupBy(F.spark_partition_id().alias("partition_id")).agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size("words")).alias("n_tokens"),
