@@ -512,29 +512,41 @@ def scaling_run(
             other = n16 if n == n4 else n4
             return tuple(pin_sets[other][:4])
 
-        it_refs: dict[tuple, float] = {}   # running-max thr per sampled set
-        it_min = {n4: [], n16: []}         # per chain trial: (worst, set)
-        # Calibrate each sensor core set BEFORE any trial runs (3 samples,
-        # keep the max) and fold in the cross-run cached reference: without
-        # an absolute seed the first trials are judged only against their
-        # own in-trial max, so a trial run entirely inside a flat
-        # contention window self-certifies clean (worst ≈ its own max).
+        it_refs: dict[tuple, float] = {}   # running-max thr per (set, leg)
+        it_min = {n4: [], n16: []}         # per chain trial: (worst, key)
+        # Calibrate each (sensor set, active leg) BEFORE any trial runs and
+        # fold in the cross-run cached reference. Two requirements pull in
+        # different directions: (1) an ABSOLUTE seed, else a trial run
+        # entirely inside a flat contention window self-certifies clean
+        # (worst ≈ its own in-trial max); (2) a FAIR seed — during a trial
+        # our own pinned leg legitimately depresses spare-core throughput
+        # (shared L3 / memory bandwidth / turbo budget), so an idle-box
+        # reference over-penalizes and can make certification unreachable
+        # even with zero tenants. Resolution: calibrate WHILE a pinned
+        # synthetic load (same string workload) saturates that leg's own
+        # cores — the reference then bakes in our structural depression
+        # and in-trial dips measure EXTERNAL contention only.
         if sensor_on:
-            for key in {sensor_cpus(n4), sensor_cpus(n16)}:
-                seed = max(_probe_once(key) for _ in range(3))
-                ck = ",".join(str(c) for c in key)
-                seed = max(seed, cached_sensor_refs.get(ck, 0.0))
-                it_refs[key] = seed
+            for n in SCALING_CORES:
+                key = (sensor_cpus(n), n)
+                with mp.Pool(n, initializer=_pin_self,
+                             initargs=(list(pin_sets[n]),)) as loadp:
+                    loadp.map(_str_burn, range(n))  # fork+import warm
+                    async_load = loadp.map_async(_str_burn, range(n * 16))
+                    seed = max(_probe_once(key[0]) for _ in range(3))
+                    async_load.wait()
+                ck = ",".join(str(c) for c in key[0]) + f"|{n}"
+                it_refs[key] = max(seed, cached_sensor_refs.get(ck, 0.0))
 
         def timed_trial(n: int, kind: str):
             samples: list[float] = []
             th = stopev = None
-            key = sensor_cpus(n)
+            key = (sensor_cpus(n), n)
             if sensor_on:
                 stopev = threading.Event()
                 th = threading.Thread(
                     target=_in_trial_sensor,
-                    args=(key, stopev, samples), daemon=True,
+                    args=(key[0], stopev, samples), daemon=True,
                 )
                 th.start()
             res = _server_trial(servers[n], kind)
@@ -725,7 +737,7 @@ def scaling_run(
         os.makedirs(os.path.dirname(ref_cache), exist_ok=True)
         sensor_out = dict(cached_sensor_refs)
         for key, v in it_refs.items():
-            ck = ",".join(str(c) for c in key)
+            ck = ",".join(str(c) for c in key[0]) + f"|{key[1]}"
             sensor_out[ck] = max(sensor_out.get(ck, 0.0), v)
         with open(ref_cache, "w") as fh:
             json.dump({"ref": probe_ref, "sensor": sensor_out}, fh)

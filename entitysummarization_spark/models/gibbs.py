@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .oracle import alpha_from_neighbors, reseed, rng_for
+from .state_lifecycle import CheckpointedStateLifecycle
 
 STATE_SCHEMA = "doc_id long, words array<long>, zs array<long>"
 # a sweep additionally emits the tokens whose topic CHANGED (word, old
@@ -247,7 +248,7 @@ def _collect_lam(
     return lam
 
 
-class DistributedGibbs:
+class DistributedGibbs(CheckpointedStateLifecycle):
     """Driver-side sweep loop. Usage:
 
         g = DistributedGibbs(spark, corpus_df, obj_pred_df, lam_df, cfg)
@@ -282,38 +283,7 @@ class DistributedGibbs:
         self.nwp: np.ndarray | None = None
         self.np_: np.ndarray | None = None
         self.sweeps_done = 0
-        self._bc_prev = None  # previous sweep's count broadcast (see sweep)
-        self._state_handles: list = []  # JavaRDD handles of current state
-
-    def _local_checkpoint(self, df: DataFrame) -> DataFrame:
-        """localCheckpoint(eager) + capture the persisted RDD handles.
-
-        DataFrame.unpersist() is a NO-OP for checkpoint RDDs (they are
-        persisted at the RDD level, bypassing the CacheManager), so
-        without RDD-level release every sweep leaks one cached RDD —
-        unbounded at 1000 sweeps (the soak test guards this). The handles
-        are unpersisted by _release_old_state once the NEXT state is
-        materialized; doing it earlier would destroy live blocks (a
-        checkpointed plan cannot recompute)."""
-        jsc = self.spark.sparkContext._jsc
-        before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-        out = df.localCheckpoint(eager=True)
-        pr = jsc.getPersistentRDDs()
-        old_handles = self._state_handles
-        self._state_handles = [
-            pr.get(i) for i in pr.keySet().toArray() if int(i) not in before
-        ]
-        self._pending_release = old_handles
-        return out
-
-    def _release_old_state(self, old: DataFrame) -> None:
-        old.unpersist()  # covers a plain-persisted state (checkpoint restore)
-        for h in getattr(self, "_pending_release", []):
-            try:
-                h.unpersist(False)
-            except Exception:  # noqa: BLE001 — already released is fine
-                pass
-        self._pending_release = []
+        self._init_state_lifecycle()  # checkpoint/broadcast discipline
 
     # ---- state init ----
     def init_state(self) -> None:
@@ -348,10 +318,7 @@ class DistributedGibbs:
             .mapInPandas(init_fn, STATE_SCHEMA)
         )
         self._refresh_global_counts()
-        try:
-            cand_bc.destroy()
-        except Exception:  # noqa: BLE001 — already cleaned is fine
-            pass
+        self._destroy_broadcast_now(cand_bc)
         self.sweeps_done = 0
 
     # ---- global count refresh (exact, from z-state) ----
@@ -552,14 +519,8 @@ class DistributedGibbs:
         # The PREVIOUS sweep's broadcast is now unreferenced (its state was
         # checkpointed a sweep ago and unpersisted above) — destroy it
         # explicitly instead of waiting on ContextCleaner; the current bc is
-        # deferred one sweep out of caution (its checkpoint is eager, but
-        # destroy-after-next-sweep costs nothing).
-        if self._bc_prev is not None:
-            try:
-                self._bc_prev.destroy()
-            except Exception:  # noqa: BLE001 — already cleaned is fine
-                pass
-        self._bc_prev = bc
+        # deferred one sweep out of caution.
+        self._retire_broadcast(bc)
 
     def run(self, n_sweeps: int) -> None:
         if self.state is None:

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 from .gibbs import tokens_from_corpus
 from .oracle import reseed, rng_for
+from .state_lifecycle import CheckpointedStateLifecycle
 
 STATE_SCHEMA = (
     "doc_id long, words array<long>, ts array<long>, cs array<long>"
@@ -201,7 +202,7 @@ class OntoPartOracle:
         return np.round(theta, 4), np.round(phi, 4), np.round(zeta, 4)
 
 
-class DistributedOntoPart:
+class DistributedOntoPart(CheckpointedStateLifecycle):
     """Driver-side sweep loop, AD-LDA over DataFrame token state.
 
         m = DistributedOntoPart(spark, corpus_df, class_word_df, cfg)
@@ -224,6 +225,7 @@ class DistributedOntoPart:
         self.nct: np.ndarray | None = None
         self.nwc: np.ndarray | None = None
         self.sweeps_done = 0
+        self._init_state_lifecycle()  # checkpoint/broadcast discipline
 
     def init_state(self) -> None:
         cfg = self.cfg
@@ -252,14 +254,13 @@ class DistributedOntoPart:
                      "ts": ts_col, "cs": cs_col}
                 )
 
-        self.state = (
+        self.state = self._local_checkpoint(
             toks.repartition(cfg.n_partitions, "doc_id")
             .sortWithinPartitions("doc_id")
             .mapInPandas(init_fn, STATE_SCHEMA)
-            .persist()
         )
-        self.state.count()
         self._refresh_global_counts()
+        self._destroy_broadcast_now(cand_bc)
         self.sweeps_done = 0
 
     def _refresh_global_counts(self) -> None:
@@ -335,14 +336,16 @@ class DistributedOntoPart:
                 )
 
         old = self.state
-        new_state = old.sortWithinPartitions("doc_id").mapInPandas(
-            sweep_fn, STATE_SCHEMA
-        ).persist()
-        new_state.count()
-        old.unpersist()
+        new_state = self._local_checkpoint(
+            old.sortWithinPartitions("doc_id").mapInPandas(
+                sweep_fn, STATE_SCHEMA
+            )
+        )
+        self._release_old_state(old)
         self.state = new_state
         self.sweeps_done += 1
         self._refresh_global_counts()
+        self._retire_broadcast(bc)
 
     def run(self, n_sweeps: int) -> None:
         if self.state is None:
