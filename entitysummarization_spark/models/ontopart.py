@@ -63,6 +63,12 @@ from .state_lifecycle import CheckpointedStateLifecycle
 STATE_SCHEMA = (
     "doc_id long, words array<long>, ts array<long>, cs array<long>"
 )
+# a sweep additionally emits the tokens whose (topic, class) assignment
+# CHANGED so the count refresh aggregates deltas over changed tokens only
+SWEEP_SCHEMA = STATE_SCHEMA + (
+    ", dw array<long>, dto array<long>, dco array<long>,"
+    " dtn array<long>, dcn array<long>"
+)
 
 
 @dataclass
@@ -285,6 +291,41 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
         )
         self.nct, self.nwc = nct, nwc
 
+    def _apply_count_deltas(self) -> None:
+        """Refresh nct/nwc from the sweep's changed tokens only — the
+        same exact-by-induction integer-delta scheme as
+        gibbs._apply_count_deltas (bit-parity tests arbitrate); the old
+        refresh exploded and double-aggregated every token every sweep.
+        Absolute recompute (_refresh_global_counts) stays the init path
+        and the arbiter."""
+        deltas = (
+            self.state.select(
+                F.explode(
+                    F.arrays_zip("dw", "dto", "dco", "dtn", "dcn")
+                ).alias("x")
+            )
+            .groupBy(
+                F.col("x.dw").alias("w"),
+                F.col("x.dto").alias("to"),
+                F.col("x.dco").alias("co"),
+                F.col("x.dtn").alias("tn"),
+                F.col("x.dcn").alias("cn"),
+            )
+            .count()
+            .toPandas()
+        )
+        if len(deltas):
+            w = deltas["w"].to_numpy(np.int64)
+            n = deltas["count"].to_numpy(np.int64)
+            to = deltas["to"].to_numpy(np.int64)
+            co = deltas["co"].to_numpy(np.int64)
+            tn = deltas["tn"].to_numpy(np.int64)
+            cn = deltas["cn"].to_numpy(np.int64)
+            np.add.at(self.nct, (to, co), -n)
+            np.add.at(self.nct, (tn, cn), n)
+            np.add.at(self.nwc, (co, w), -n)
+            np.add.at(self.nwc, (cn, w), n)
+
     def sweep(self) -> None:
         cfg = self.cfg
         sweep_idx = self.sweeps_done
@@ -303,9 +344,11 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
             rng0 = np.random.RandomState(0)
             for batch in batches:
                 ts_col, cs_col = [], []
+                dw_c, dto_c, dco_c, dtn_c, dcn_c = [], [], [], [], []
                 for d, ws, ts, cs in zip(
                     batch["doc_id"], batch["words"], batch["ts"], batch["cs"]
                 ):
+                    ch = ([], [], [], [], [])
                     ws = np.asarray(ws, dtype=np.int64)
                     ts = np.asarray(ts, dtype=np.int64).copy()
                     cs = np.asarray(cs, dtype=np.int64).copy()
@@ -328,23 +371,35 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
                         nwc[c_new, w] += 1
                         nt[t_new] += 1
                         nc[c_new] += 1
+                        if t_new != t_old or c_new != c_old:
+                            ch[0].append(w)
+                            ch[1].append(t_old)
+                            ch[2].append(c_old)
+                            ch[3].append(t_new)
+                            ch[4].append(c_new)
                     ts_col.append(ts)
                     cs_col.append(cs)
+                    for col, vals in zip(
+                        (dw_c, dto_c, dco_c, dtn_c, dcn_c), ch
+                    ):
+                        col.append(np.asarray(vals, dtype=np.int64))
                 yield pd.DataFrame(
                     {"doc_id": batch["doc_id"], "words": batch["words"],
-                     "ts": ts_col, "cs": cs_col}
+                     "ts": ts_col, "cs": cs_col, "dw": dw_c, "dto": dto_c,
+                     "dco": dco_c, "dtn": dtn_c, "dcn": dcn_c}
                 )
 
         old = self.state
+        base = old.select("doc_id", "words", "ts", "cs")
         new_state = self._local_checkpoint(
-            old.sortWithinPartitions("doc_id").mapInPandas(
-                sweep_fn, STATE_SCHEMA
+            base.sortWithinPartitions("doc_id").mapInPandas(
+                sweep_fn, SWEEP_SCHEMA
             )
         )
         self._release_old_state(old)
         self.state = new_state
         self.sweeps_done += 1
-        self._refresh_global_counts()
+        self._apply_count_deltas()
         self._retire_broadcast(bc)
 
     def run(self, n_sweeps: int) -> None:
