@@ -19,19 +19,32 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+# Queries parked at the registry tail this round. Each already holds a
+# green r04 driver row AND its own pytest gate, so the round-5 prefix can
+# spend its certification budget on queries still needing a first row.
+# This encodes the ORDERING INTENT only — the external driver's prefix
+# size (empirically 50 in r03/r04) is not baked in anywhere.
+PARKED_R05 = [
+    "a9_top5_avg", "o2_setops", "dedup_ngram_jaccard_capped", "lang_id",
+    "stateful_sessions", "g14_tfidf_cosine", "g4_connected_components",
+    "textrank",
+]
+
+
 def test_registry_order_protects_flagship():
-    """The driver certifies the FIRST 50 registered queries (r03 checked
-    exactly positions 1-50 of 55), so the flagship pipeline and the four
-    queries that lacked a driver row must stay inside the window and only
-    double-covered twins may sit past position 50."""
+    """Flagship leads; every query that still needs its first driver row
+    (the M-variant invariants and the five r04 twins) precedes every
+    already-certified parked query, whatever prefix length the driver
+    certifies."""
     keys = list(QUERIES)
-    assert keys[:5] == [
-        "kg_pipeline_summaries", "kg_pipeline_invariants",
-        "m8_lda_invariants", "ann_ivf_topk", "simhash",
+    assert keys[0] == "kg_pipeline_summaries"
+    needs_first_row = [
+        "m6_invariants", "m3_invariants", "m5_invariants", "lang_id_ngram",
+        "sessions", "g14_tfidf_cosine_capped", "g4_cc_star", "g7_pagerank",
     ]
-    twins = {"lang_id_ngram", "sessions", "g14_tfidf_cosine_capped",
-             "g4_cc_star", "g7_pagerank"}
-    assert set(keys[50:]) <= twins
+    first_parked = min(keys.index(k) for k in PARKED_R05)
+    assert all(keys.index(k) < first_parked for k in needs_first_row)
+    assert keys[-len(PARKED_R05):] == PARKED_R05
 
 
 def test_entry_smoke(spark):

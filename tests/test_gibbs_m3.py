@@ -41,14 +41,9 @@ def _oracle_inputs(b, P, W):
     return corpus, cand, lam
 
 
-def _ring_edges(doc_ids):
-    """Deterministic SR graph: ring over sorted doc ids (both directions)."""
-    ds = sorted(doc_ids)
-    edges = []
-    for i, d in enumerate(ds):
-        nxt = ds[(i + 1) % len(ds)]
-        edges += [(d, nxt), (nxt, d)]
-    return edges
+from entitysummarization_spark.fixtures.samplers import (  # noqa: E402
+    ring_edges as _ring_edges,  # shared with the driver m3_invariants query
+)
 
 
 def test_alpha_from_neighbors_no_nbrs():

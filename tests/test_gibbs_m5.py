@@ -6,35 +6,32 @@
 import numpy as np
 import pytest
 
+from entitysummarization_spark.fixtures.samplers import (
+    M5_P as P,
+    M5_W as W,
+    m5_cat_rows,
+    m5_corpus_rows,
+)
 from entitysummarization_spark.models.gibbs import DistributedGibbs, GibbsConfig
 from entitysummarization_spark.models.oracle import GibbsOracle
 from entitysummarization_spark.operators.tfidf import tfidf_weight_matrix
 
-P, W = 3, 6  # topics, words
-
 
 @pytest.fixture(scope="module")
 def m5_inputs(spark):
-    rng = np.random.RandomState(3)
-    rows = []
-    for d in range(5):
-        for w in rng.choice(W, size=4, replace=False):
-            rows.append((d, int(w), int(rng.randint(1, 4))))
+    # inputs shared with the driver-certified m5_invariants query
+    # (fixtures/samplers): M5 makes every topic a candidate for every word
+    # (the t_i loop over T); cat bags feed the TF-IDF weight matrix
     corpus_df = spark.createDataFrame(
-        rows, "doc_id long, word_id long, freq int"
+        m5_corpus_rows(), "doc_id long, word_id long, freq int"
     )
-    # M5: every topic is a candidate for every word (the t_i loop over T)
     all_preds = list(range(P))
     obj_pred = spark.createDataFrame(
         [(w, all_preds) for w in range(W)],
         "word_id long, pred_ids array<long>",
     )
-    # category-word bags: topic t owns words {t, t+1, t+2} with freq t+1+j
-    cat_rows = [
-        (t, (t + j) % W, t + 1 + j) for t in range(P) for j in range(3)
-    ]
     cat_word = spark.createDataFrame(
-        cat_rows, "pred_id long, word_id long, freq int"
+        m5_cat_rows(), "pred_id long, word_id long, freq int"
     )
     lam_df = tfidf_weight_matrix(cat_word)
     return corpus_df, obj_pred, lam_df

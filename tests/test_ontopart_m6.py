@@ -7,29 +7,24 @@ and by AD-LDA invariants on a multi-partition run."""
 import numpy as np
 import pytest
 
+from entitysummarization_spark.fixtures.samplers import (
+    M6_C as C,
+    M6_T as T,
+    M6_W as W,
+    m6_class_rows,
+    m6_corpus_rows,
+)
 from entitysummarization_spark.models.ontopart import (
     DistributedOntoPart,
     OntoPartConfig,
     OntoPartOracle,
 )
 
-T, C, W, D = 3, 4, 10, 6
 SWEEPS = 3
 
-
-def _corpus_rows():
-    rng = np.random.RandomState(11)
-    rows = []
-    for d in range(D):
-        for w in rng.choice(W, size=5, replace=False):
-            rows.append((d, int(w), int(rng.randint(1, 4))))
-    return rows
-
-
-def _cls_rows():
-    # word w may be emitted by classes {w%C, (w+1)%C} — every word has ≥2
-    # candidate classes so the joint grid is non-trivial
-    return sorted({(w % C, w) for w in range(W)} | {((w + 1) % C, w) for w in range(W)})
+# shared with the driver-certified m6_invariants query (fixtures/samplers)
+_corpus_rows = m6_corpus_rows
+_cls_rows = m6_class_rows
 
 
 @pytest.fixture(scope="module")
