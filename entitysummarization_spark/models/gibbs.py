@@ -26,16 +26,30 @@ undestroyed broadcast per sweep is an unbounded leak; the soak test in
 test_gibbs_kernels.py runs 100+ sweeps asserting both stay flat).
 Checkpoint/resume per north_rule: plans/checkpoint.py.
 
-Two doc-sweep kernels, bit-identical by construction (same seeded-RNG
+Four doc-sweep kernels, bit-identical by construction (same seeded-RNG
 contract, same IEEE op order): _sweep_doc_reference is the per-token
 NumPy transcription the oracle parity tests arbitrate against;
-_sweep_doc_fast (the default) replaces the per-token tiny-array NumPy
-dispatches with cached-per-word scalar arithmetic for ~5× sweep
-throughput. GibbsConfig.kernel selects.
+_sweep_doc_fast replaces the per-token tiny-array NumPy dispatches with
+cached-per-word scalar arithmetic for ~5× sweep throughput; "native"
+(the default where a C compiler exists — models/native_kernel.py) and
+"numba" (models/numba_kernel.py, jitted only where numba is installed)
+compile the same loop to machine code, called once per Arrow batch.
+GibbsConfig.kernel selects; unavailable kernels degrade explicitly
+(native→fast, numba→interpreted twin), and because every kernel is
+bit-identical a heterogeneous-cluster mix of fallbacks still produces
+the same chain. tests/test_gibbs_kernels.py arbitrates all of them
+against the reference kernel on z-chain AND count-matrix equality.
+
+Broadcast discipline: sweep-CONSTANT inputs (candidate CSR, λ·β, Σλβ)
+ship once per sampler in ``_const_bc``; the per-sweep broadcast carries
+only the refreshed (Nwp, Np) counts. At reference scale the constants
+(λ is a dense P×W float64) dominate, so rebroadcasting them every sweep
+— as rounds ≤4 did — multiplied network cost by the sweep count.
 """
 
 from __future__ import annotations
 
+import warnings
 from bisect import bisect_right
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -45,7 +59,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .oracle import alpha_from_neighbors, reseed, rng_for
+from . import native_kernel, numba_kernel
+from .oracle import alpha_from_neighbors, reseed, rng_for, seed_for
 from .state_lifecycle import CheckpointedStateLifecycle
 
 STATE_SCHEMA = "doc_id long, words array<long>, zs array<long>"
@@ -188,6 +203,103 @@ def _sweep_doc_fast(
     return ch_w, ch_old, ch_new
 
 
+def _m3_alpha_rows(nbr_col, P: float, alpha: float, eps: float):
+    """Rebuild each doc's SR-smoothed α vector from the joined neighbor
+    payload — identical input order to the oracle (see sweep())."""
+    for nbrs in nbr_col:
+        tup = []
+        entries = nbrs if isinstance(nbrs, (list, np.ndarray)) else []
+        for e in entries:
+            pn = e["pn"]
+            if pn is None or len(pn) == 0:
+                pn = []
+            tup.append((
+                int(e["nbr"]),
+                int(e["nd"]),
+                np.asarray([x["p"] for x in pn], dtype=np.int64),
+                np.asarray([x["n"] for x in pn], dtype=np.int64),
+            ))
+        yield alpha_from_neighbors(tup, P, alpha, eps)
+
+
+def _run_compiled_batches(
+    batches, kern, lib, const, nwp, np_, P, alpha, seed, sweep_idx,
+    use_m3, eps,
+):
+    """Arrow-batch loop for the compiled kernels (native C / numba): flat
+    token layout + one kernel call per batch, so per-token work never
+    re-enters the interpreter. Same AD-LDA working-copy discipline and
+    changed-token outputs as the per-doc kernels."""
+    W = nwp.shape[1]
+    nwp_flat = nwp.ravel().copy()
+    np_arr = np_.copy()
+    csr_indptr = const["csr_indptr"]
+    csr_data = const["csr_data"]
+    lam_beta = const["lam_beta"]
+    slb = np.ascontiguousarray(const["slb"])
+    nd_scratch = np.zeros(P, dtype=np.int64)
+    cdf_scratch = np.empty(max(int(const["max_cand"]), 1), dtype=np.float64)
+    for b in batches:
+        n = len(b)
+        if n == 0:
+            continue
+        ws_list = [np.ascontiguousarray(x, dtype=np.int64) for x in b["words"]]
+        lens = np.fromiter((x.size for x in ws_list), np.int64, n)
+        doc_indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_indptr[1:])
+        ws_flat = np.concatenate(ws_list)
+        zs_flat = np.concatenate(
+            [np.asarray(x, dtype=np.int64) for x in b["zs"]]
+        )
+        # vectorized oracle.seed_for — identical int arithmetic in int64
+        # (values stay far below 2**63 for any int32 doc_id)
+        seeds = (
+            seed * 1_000_003 + sweep_idx * 10_007
+            + b["doc_id"].to_numpy(np.int64) * 131
+        ) % (2**32 - 1)
+        if use_m3:
+            av_mat = np.empty((n, P), dtype=np.float64)
+            a_sums = np.empty(n, dtype=np.float64)
+            for j, av in enumerate(_m3_alpha_rows(b["nbrs"], P, alpha, eps)):
+                av_mat[j] = av
+                # float(row.sum()) — same reduction the per-doc kernels use
+                a_sums[j] = float(av.sum())
+        else:
+            av_mat, a_sums = None, None
+        if kern == "native":
+            ch_w, ch_old, ch_new, ch_counts = native_kernel.sweep_batch_native(
+                lib, doc_indptr, ws_flat, zs_flat,
+                seeds.astype(np.uint32), P, W, nwp_flat, np_arr,
+                csr_indptr, csr_data, lam_beta, slb, alpha,
+                av_mat, a_sums, nd_scratch, cdf_scratch,
+            )
+        else:
+            n_tok = ws_flat.size
+            ch_w = np.empty(n_tok, dtype=np.int64)
+            ch_old = np.empty(n_tok, dtype=np.int64)
+            ch_new = np.empty(n_tok, dtype=np.int64)
+            ch_counts = np.empty(n, dtype=np.int64)
+            n_ch = numba_kernel.sweep_batch_py(
+                doc_indptr, ws_flat, zs_flat, seeds, P, W, nwp_flat,
+                np_arr, csr_indptr, csr_data, lam_beta, slb, alpha,
+                use_m3,
+                av_mat if use_m3 else np.zeros((0, 0), dtype=np.float64),
+                a_sums if use_m3 else np.zeros(0, dtype=np.float64),
+                nd_scratch, cdf_scratch, ch_w, ch_old, ch_new, ch_counts,
+            )
+            ch_w, ch_old, ch_new = ch_w[:n_ch], ch_old[:n_ch], ch_new[:n_ch]
+        ch_indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ch_counts, out=ch_indptr[1:])
+        yield pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "words": b["words"],
+            "zs": np.split(zs_flat, doc_indptr[1:-1]),
+            "dw": np.split(ch_w, ch_indptr[1:-1]),
+            "dp_old": np.split(ch_old, ch_indptr[1:-1]),
+            "dp_new": np.split(ch_new, ch_indptr[1:-1]),
+        })
+
+
 @dataclass
 class GibbsConfig:
     n_preds: int
@@ -203,10 +315,13 @@ class GibbsConfig:
     # only category-word TF-IDF entries are set
     # (sontoldamodel/SontoLDA.java:524-531, used at :138-139).
     lam_default: float = 1.0
-    # "fast" = scalar-Python kernel (bit-identical, ~5× throughput);
-    # "reference" = the per-token NumPy kernel the oracle parity tests
-    # arbitrate against. Both produce identical z-chains.
-    kernel: str = "fast"
+    # "native" = runtime-compiled C kernel (default; ~10× the fast
+    # kernel, falls back to "fast" where no C compiler exists);
+    # "numba" = the jitted twin (interpreted where numba is absent);
+    # "fast" = scalar-Python kernel; "reference" = the per-token NumPy
+    # kernel the oracle parity tests arbitrate against. ALL produce
+    # identical z-chains (test_gibbs_kernels.py).
+    kernel: str = "native"
 
     @property
     def alpha_eff(self) -> float:
@@ -248,6 +363,25 @@ def _collect_lam(
     return lam
 
 
+def resolve_kernel(name: str) -> str:
+    """Driver-side kernel resolution with explicit degradation. The
+    resolved name decides what the sweep-constant broadcast must carry
+    (CSR candidates + flat λ·β for the compiled kernels)."""
+    if name == "native" and not native_kernel.native_available():
+        warnings.warn(
+            "kernel='native': no C compiler available — using 'fast' "
+            "(bit-identical, slower)", stacklevel=2,
+        )
+        return "fast"
+    if name == "numba" and not numba_kernel.numba_available():
+        warnings.warn(
+            "kernel='numba': numba not installed — running the same "
+            "kernel body interpreted (bit-identical, slow); install "
+            "numba or use kernel='native'", stacklevel=2,
+        )
+    return name
+
+
 class DistributedGibbs(CheckpointedStateLifecycle):
     """Driver-side sweep loop. Usage:
 
@@ -278,11 +412,26 @@ class DistributedGibbs(CheckpointedStateLifecycle):
         self.cand = _collect_cand(obj_pred)
         self.lam = _collect_lam(lam_df, cfg.n_preds, cfg.n_words, cfg.lam_default)
         self.sum_lam_beta = self.lam.sum(axis=1) * cfg.beta
+        self.kernel = resolve_kernel(cfg.kernel)
+        if self.kernel in ("native", "numba"):
+            # sweep-constant compiled-kernel inputs, packed once:
+            # CSR candidates and λ·β ((lam*β) elementwise equals the fast
+            # kernel's per-entry float(lam[c,w])*β bit-for-bit)
+            self._csr_indptr, self._csr_data = native_kernel.cand_to_csr(
+                self.cand, cfg.n_words
+            )
+            self._lam_beta = np.ascontiguousarray(
+                (self.lam * cfg.beta).ravel()
+            )
+            self._max_cand = (
+                int(np.diff(self._csr_indptr).max()) if self.cand else 1
+            )
         self.corpus = corpus
         self.state: DataFrame | None = None
         self.nwp: np.ndarray | None = None
         self.np_: np.ndarray | None = None
         self.sweeps_done = 0
+        self._const_bc = None  # sweep-constant broadcast, shipped once
         self._init_state_lifecycle()  # checkpoint/broadcast discipline
 
     # ---- state init ----
@@ -407,20 +556,54 @@ class DistributedGibbs(CheckpointedStateLifecycle):
         )
         return state.join(nbrs, "doc_id", "left")
 
+    # ---- sweep-constant broadcast (candidates / λ — shipped ONCE) ----
+    def _ensure_const_bc(self):
+        if self._const_bc is None:
+            payload = {
+                "cand": self.cand, "lam": self.lam, "slb": self.sum_lam_beta,
+            }
+            if self.kernel in ("native", "numba"):
+                payload.update(
+                    csr_indptr=self._csr_indptr, csr_data=self._csr_data,
+                    lam_beta=self._lam_beta, max_cand=self._max_cand,
+                )
+            self._const_bc = self.spark.sparkContext.broadcast(payload)
+        return self._const_bc
+
+    def close(self) -> None:
+        """Release the sampler's long-lived broadcast/state handles."""
+        if self._const_bc is not None:
+            self._destroy_broadcast_now(self._const_bc)
+            self._const_bc = None
+        self._retire_broadcast(None)
+
     # ---- one sweep ----
     def sweep(self) -> None:
         cfg = self.cfg
         sweep_idx = self.sweeps_done
-        bc = self.spark.sparkContext.broadcast(
-            (self.nwp, self.np_, self.cand, self.lam, self.sum_lam_beta)
-        )
+        bc = self.spark.sparkContext.broadcast((self.nwp, self.np_))
+        const_bc = self._ensure_const_bc()
         P, alpha, beta, seed = cfg.n_preds, cfg.alpha_eff, cfg.beta, cfg.base_seed
         eps = cfg.epsilon
         use_m3 = self.doc_sr is not None
-        kernel = cfg.kernel
+        kernel = self.kernel
 
         def sweep_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            nwp, np_, cand, lam, slb = bc.value
+            nwp, np_ = bc.value
+            const = const_bc.value
+            kern = kernel
+            lib = None
+            if kern == "native":
+                lib = native_kernel.load_native()
+                if lib is None:  # executor without a compiler: degrade
+                    kern = "fast"
+            if kern in ("native", "numba"):
+                yield from _run_compiled_batches(
+                    batches, kern, lib, const, nwp, np_, P, alpha, seed,
+                    sweep_idx, use_m3, eps,
+                )
+                return
+            cand, lam, slb = const["cand"], const["lam"], const["slb"]
             # partition-local working copies (AD-LDA): the fast kernel keeps
             # them as a flat int64 array + python int list, the reference
             # kernel as the original 2-D array — same update sequence
