@@ -514,6 +514,7 @@ class DistributedGibbs(CheckpointedStateLifecycle):
             .count()
             .toPandas()
         )
+        self.last_sweep_changes = 0
         if len(deltas):
             w = deltas["w"].to_numpy(np.int64)
             n = deltas["count"].to_numpy(np.int64)
@@ -521,6 +522,7 @@ class DistributedGibbs(CheckpointedStateLifecycle):
                       (deltas["po"].to_numpy(np.int64), w), -n)
             np.add.at(self.nwp,
                       (deltas["pn"].to_numpy(np.int64), w), n)
+            self.last_sweep_changes = int(n.sum())
         self.np_ = self.nwp.sum(axis=1)
 
     # ---- M3 neighbor payload (per-doc α smoothing inputs) ----
