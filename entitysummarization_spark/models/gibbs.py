@@ -315,6 +315,12 @@ class GibbsConfig:
     # only category-word TF-IDF entries are set
     # (sontoldamodel/SontoLDA.java:524-531, used at :138-139).
     lam_default: float = 1.0
+    # True = per-sweep Dataset.checkpoint against the session's
+    # checkpoint dir (durable across executor loss, one FS write per
+    # sweep); False = localCheckpoint + the every-k-sweeps Parquet
+    # checkpoints in plans/checkpoint.py as the durable resume points.
+    # See models/state_lifecycle.py for the tradeoff.
+    reliable_checkpoint: bool = False
     # "native" = runtime-compiled C kernel (default; ~10× the fast
     # kernel, falls back to "fast" where no C compiler exists);
     # "numba" = the jitted twin (interpreted where numba is absent);
@@ -464,7 +470,8 @@ class DistributedGibbs(CheckpointedStateLifecycle):
         self.state = self._local_checkpoint(
             toks.repartition(cfg.n_partitions, "doc_id")
             .sortWithinPartitions("doc_id")
-            .mapInPandas(init_fn, STATE_SCHEMA)
+            .mapInPandas(init_fn, STATE_SCHEMA),
+            reliable=cfg.reliable_checkpoint,
         )
         self._refresh_global_counts()
         self._destroy_broadcast_now(cand_bc)
@@ -695,7 +702,8 @@ class DistributedGibbs(CheckpointedStateLifecycle):
         new_state = self._local_checkpoint(
             src.sortWithinPartitions("doc_id").mapInPandas(
                 sweep_fn, SWEEP_SCHEMA
-            )
+            ),
+            reliable=cfg.reliable_checkpoint,
         )
         self._release_old_state(old)
         self.state = new_state

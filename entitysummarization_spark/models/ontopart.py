@@ -81,6 +81,8 @@ class OntoPartConfig:
     zeta: float = 0.01        # word-given-class smoothing (ZETA, :62)
     base_seed: int = 7
     n_partitions: int = 8
+    # durable per-sweep checkpointing — see models/state_lifecycle.py
+    reliable_checkpoint: bool = False
 
     @property
     def alpha_eff(self) -> float:
@@ -263,7 +265,8 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
         self.state = self._local_checkpoint(
             toks.repartition(cfg.n_partitions, "doc_id")
             .sortWithinPartitions("doc_id")
-            .mapInPandas(init_fn, STATE_SCHEMA)
+            .mapInPandas(init_fn, STATE_SCHEMA),
+            reliable=cfg.reliable_checkpoint,
         )
         self._refresh_global_counts()
         self._destroy_broadcast_now(cand_bc)
@@ -394,7 +397,8 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
         new_state = self._local_checkpoint(
             base.sortWithinPartitions("doc_id").mapInPandas(
                 sweep_fn, SWEEP_SCHEMA
-            )
+            ),
+            reliable=cfg.reliable_checkpoint,
         )
         self._release_old_state(old)
         self.state = new_state

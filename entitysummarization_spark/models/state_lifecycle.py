@@ -1,4 +1,4 @@
-"""Iterative-sampler state lifecycle: localCheckpoint + explicit release.
+"""Iterative-sampler state lifecycle: checkpoint + explicit release.
 
 Shared by DistributedGibbs (M1/M2/M3/M5) and OntoPartGibbs (M6). Both
 samplers rewrite their full token state once per sweep via mapInPandas;
@@ -7,15 +7,30 @@ O(n)-deep plan, and (b) keeps every sweep's count broadcast referenced
 for task re-serialization — an unbounded leak at the reference's 500 to
 2000 production sweeps. The discipline here:
 
-  - localCheckpoint(eager) each new state: materializes it AND truncates
+  - checkpoint each new state eagerly: materializes it AND truncates
     lineage (O(1) plan; the sweep's broadcast becomes unreferenced);
   - checkpoint RDDs bypass the CacheManager, so DataFrame.unpersist()
-    is a NO-OP for them — the persisted RDD handles are captured at
-    checkpoint time and released at the RDD level one sweep later
+    is a NO-OP for them — the persisted RDD handle is read off the
+    checkpointed Dataset's own plan (a LogicalRDD whose ``rdd`` IS the
+    persisted RDD) and released at the RDD level one sweep later
     (releasing earlier would destroy live blocks: a checkpointed plan
     cannot recompute);
   - the previous sweep's broadcast is destroy()ed once the next state
     is materialized (deferred one sweep out of caution).
+
+Fault-tolerance tradeoff (library surface): ``localCheckpoint`` (the
+default) stores blocks on the executors that computed them — cheap, but
+on a real cluster a single executor loss mid-chain makes the in-flight
+state unrecoverable (the WARN Spark logs about truncated lineage is
+exactly this). Two mitigations, composable:
+
+  - set ``reliable=True`` on ``_local_checkpoint`` (surfaced as
+    ``GibbsConfig.reliable_checkpoint``) to use ``Dataset.checkpoint``
+    against ``spark.sparkContext.setCheckpointDir(...)`` — every sweep
+    durable, at the cost of a distributed-FS write per sweep;
+  - keep the default and rely on the every-k-sweeps Parquet checkpoints
+    (plans/checkpoint.py) as the durable resume points — the
+    north-rule resume path, and the right cost point at 1000 sweeps.
 
 The 105-sweep soak in test_gibbs_kernels.py asserts flat plan size and
 flat persisted-block count under this discipline.
@@ -35,16 +50,27 @@ class CheckpointedStateLifecycle:
         self._pending_release: list = []
         self._bc_prev = None
 
-    def _local_checkpoint(self, df: DataFrame) -> DataFrame:
-        jsc = self.spark.sparkContext._jsc
-        before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
-        out = df.localCheckpoint(eager=True)
-        pr = jsc.getPersistentRDDs()
-        old_handles = self._state_handles
-        self._state_handles = [
-            pr.get(i) for i in pr.keySet().toArray() if int(i) not in before
-        ]
-        self._pending_release = old_handles
+    @staticmethod
+    def _checkpointed_rdd_handle(df: DataFrame):
+        """The persisted RDD behind a just-checkpointed Dataset: its
+        analyzed plan is a LogicalRDD wrapping exactly the RDD that
+        ``checkpoint``/``localCheckpoint`` persisted. Reading it off the
+        Dataset itself (rather than diffing getPersistentRDDs before/
+        after, as earlier rounds did) cannot capture RDDs persisted
+        concurrently by other jobs on the same session."""
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return None
+        return plan.rdd()
+
+    def _local_checkpoint(self, df: DataFrame, reliable: bool = False) -> DataFrame:
+        if reliable:
+            out = df.checkpoint(eager=True)  # needs setCheckpointDir
+        else:
+            out = df.localCheckpoint(eager=True)
+        handle = self._checkpointed_rdd_handle(out)
+        self._pending_release = self._state_handles
+        self._state_handles = [handle] if handle is not None else []
         return out
 
     def _release_old_state(self, old: DataFrame) -> None:

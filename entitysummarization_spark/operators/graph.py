@@ -477,7 +477,7 @@ def per_doc_core_entities(
     sequentially on one thread per file).
     """
 
-    def one_doc(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def one_doc(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         (did,) = key
         verts = sorted(set(pdf["src"]) | set(pdf["dst"]))
         idx = {v: i for i, v in enumerate(verts)}

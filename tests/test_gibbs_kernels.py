@@ -34,6 +34,7 @@ def _run(spark, b, P, W, kernel, n_partitions, sweeps=3):
     return g
 
 
+@pytest.mark.filterwarnings("ignore:kernel='numba'")  # expected degrade
 @pytest.mark.parametrize("n_partitions", [1, 3])
 @pytest.mark.parametrize("kernel", ["fast", "native", "numba"])
 def test_kernels_bit_identical(spark, bundle, kernel, n_partitions):
@@ -62,6 +63,39 @@ def test_numba_kernel_importable_and_flagged():
     availability honestly (resolve_kernel warns + runs interpreted)."""
     assert callable(numba_kernel.sweep_batch_py)
     assert numba_kernel.numba_available() in (True, False)
+
+
+def test_reliable_checkpoint_same_chain(spark, bundle, tmp_path):
+    """GibbsConfig.reliable_checkpoint=True (durable Dataset.checkpoint
+    per sweep — the executor-loss-safe option documented in
+    state_lifecycle.py) must produce the identical z-chain, and the
+    direct plan-handle release must keep the block inventory flat."""
+    b, P, W = bundle
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        cfg = GibbsConfig(n_preds=P, n_words=W, base_seed=11,
+                          n_partitions=2, reliable_checkpoint=True)
+        g = DistributedGibbs(spark, b.corpus, b.obj_pred, b.lam, cfg)
+        g.run(4)
+        blocks_after_4 = sc._jsc.getPersistentRDDs().size()
+        g.run(3)
+        assert (
+            sc._jsc.getPersistentRDDs().size() <= blocks_after_4 + 1
+        )
+        g2 = _run(spark, b, P, W, "native", 2, sweeps=7)
+        z1, z2 = g.z_state(), g2.z_state()
+        assert set(z1) == set(z2)
+        for d in z1:
+            assert np.array_equal(z1[d], z2[d])
+        g.close()
+        g2.close()
+    finally:
+        # the session-scoped spark fixture is shared; other tests assert
+        # the local-checkpoint default (no dir configured)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
 
 
 def test_soak_bounded_plan_and_blocks(spark, bundle):

@@ -159,8 +159,11 @@ def test_multimodal_plumbing(spark):
     )
 
     media = make_media_table(spark, n=12)
-    with pytest.raises(NotImplementedError):
-        extract_media_features(media, fake=False)
+    # every kind now has an in-container decoder (stdlib PNG/MP4/WAV), so
+    # mode="real" passes the precondition — but these synthetic payloads
+    # are garbage, and real mode must FAIL on them rather than fall back
+    with pytest.raises(Exception):
+        extract_media_features(media, fake=False).collect()
     feats = extract_media_features(media, fake=True).toPandas()
     assert len(feats) == 12
     assert set(feats.columns) == {"media_id", "kind", "width", "height",
