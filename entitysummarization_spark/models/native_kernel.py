@@ -181,6 +181,105 @@ int64_t sweep_batch(
     }
     return n_changed;
 }
+
+/* M6 ontoPart chained sampler: one JOINT draw over the T x classes(w)
+   grid per token (models/ontopart.py semantics; same IEEE op order as
+   the NumPy oracle's _sample_token — term_c first, then
+   (ntd+a)*(nct+b)/(nt+cb)*term_c accumulated t-major like
+   np.cumsum(grid.ravel())). */
+int64_t onto_sweep_batch(
+    int64_t n_docs,
+    const int64_t *doc_indptr,
+    const int64_t *ws,
+    int64_t *ts,
+    int64_t *cs,
+    const uint32_t *seeds,
+    int64_t T,
+    int64_t C,
+    int64_t W,
+    int64_t *nct,           /* T*C in/out */
+    int64_t *nwc,           /* C*W in/out */
+    int64_t *nt,            /* T in/out */
+    int64_t *nc,            /* C in/out */
+    const int64_t *cls_indptr,
+    const int64_t *cls_data,
+    double alpha,
+    double beta,
+    double zeta,
+    double cb,              /* C*beta, precomputed like the oracle */
+    double wz,              /* W*zeta */
+    int64_t *ntd,           /* scratch, len T */
+    double *termc,          /* scratch, len >= max classes per word */
+    double *cdf,            /* scratch, len >= T * max classes */
+    int64_t *ch_w, int64_t *ch_to, int64_t *ch_co,
+    int64_t *ch_tn, int64_t *ch_cn,
+    int64_t *ch_counts
+) {
+    int64_t n_changed = 0;
+    mt_t st;
+    for (int64_t d = 0; d < n_docs; d++) {
+        const int64_t t0 = doc_indptr[d], t1 = doc_indptr[d + 1];
+        int64_t doc_changed = 0;
+        mt_seed(&st, seeds[d]);
+        memset(ntd, 0, (size_t)T * sizeof(int64_t));
+        for (int64_t i = t0; i < t1; i++) ntd[ts[i]]++;
+        for (int64_t i = t0; i < t1; i++) {
+            const int64_t w = ws[i], told = ts[i], cold = cs[i];
+            ntd[told]--;
+            nct[told * C + cold]--;
+            nwc[cold * W + w]--;
+            nt[told]--;
+            nc[cold]--;
+            const int64_t s = cls_indptr[w];
+            const int64_t m = cls_indptr[w + 1] - s;
+            for (int64_t k = 0; k < m; k++) {
+                const int64_t c = cls_data[s + k];
+                termc[k] = ((double)nwc[c * W + w] + zeta)
+                           / ((double)nc[c] + wz);
+            }
+            double total = 0.0;
+            int64_t idx = 0;
+            for (int64_t t = 0; t < T; t++) {
+                const double a1 = (double)ntd[t] + alpha;
+                const double den = (double)nt[t] + cb;
+                const int64_t rowoff = t * C;
+                for (int64_t k = 0; k < m; k++) {
+                    total = total
+                        + a1 * ((double)nct[rowoff + cls_data[s + k]] + beta)
+                          / den * termc[k];
+                    cdf[idx++] = total;
+                }
+            }
+            const double u = mt_double(&st) * total;
+            int64_t lo = 0, hi = idx;
+            while (lo < hi) {
+                const int64_t mid = (lo + hi) >> 1;
+                if (u < cdf[mid]) hi = mid; else lo = mid + 1;
+            }
+            if (lo > idx - 1) lo = idx - 1;
+            const int64_t tnew = lo / m;
+            const int64_t cnew = cls_data[s + lo % m];
+            ts[i] = tnew;
+            cs[i] = cnew;
+            ntd[tnew]++;
+            nct[tnew * C + cnew]++;
+            nwc[cnew * W + w]++;
+            nt[tnew]++;
+            nc[cnew]++;
+            if (tnew != told || cnew != cold) {
+                ch_w[n_changed] = w;
+                ch_to[n_changed] = told;
+                ch_co[n_changed] = cold;
+                ch_tn[n_changed] = tnew;
+                ch_cn[n_changed] = cnew;
+                n_changed++;
+                doc_changed++;
+            }
+        }
+        ch_counts[d] = doc_changed;
+    }
+    return n_changed;
+}
 """
 
 _I64P = ctypes.POINTER(ctypes.c_int64)
@@ -228,6 +327,16 @@ def load_native() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_int64, _I64P, _I64P,
             _I64P, _I64P, _F64P, _F64P, ctypes.c_double,
             _F64P, _F64P, _I64P, _F64P, _I64P, _I64P, _I64P, _I64P,
+        ]
+        lib.onto_sweep_batch.restype = ctypes.c_int64
+        lib.onto_sweep_batch.argtypes = [
+            ctypes.c_int64, _I64P, _I64P, _I64P, _I64P, _U32P,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            _I64P, _I64P, _I64P, _I64P, _I64P, _I64P,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double,
+            _I64P, _F64P, _F64P,
+            _I64P, _I64P, _I64P, _I64P, _I64P, _I64P,
         ]
     except Exception:  # noqa: BLE001 — no compiler / sandboxed tmp: fall back
         lib = None
@@ -303,3 +412,45 @@ def sweep_batch_native(
         _ptr_i64(ch_counts),
     )
     return ch_w[:n], ch_old[:n], ch_new[:n], ch_counts
+
+
+def onto_sweep_batch_native(
+    lib: ctypes.CDLL,
+    doc_indptr: np.ndarray,
+    ws_flat: np.ndarray,
+    ts_flat: np.ndarray,
+    cs_flat: np.ndarray,
+    seeds: np.ndarray,
+    T: int,
+    C: int,
+    W: int,
+    nct_flat: np.ndarray,
+    nwc_flat: np.ndarray,
+    nt: np.ndarray,
+    nc: np.ndarray,
+    cls_indptr: np.ndarray,
+    cls_data: np.ndarray,
+    alpha: float,
+    beta: float,
+    zeta: float,
+    ntd_scratch: np.ndarray,
+    termc_scratch: np.ndarray,
+    cdf_scratch: np.ndarray,
+) -> tuple[np.ndarray, ...]:
+    """One M6 batch sweep; mutates ts/cs/nct/nwc/nt/nc in place. Returns
+    (ch_w, ch_to, ch_co, ch_tn, ch_cn, ch_counts)."""
+    n_docs = len(doc_indptr) - 1
+    n_tok = len(ws_flat)
+    outs = [np.empty(n_tok, dtype=np.int64) for _ in range(5)]
+    ch_counts = np.empty(n_docs, dtype=np.int64)
+    n = lib.onto_sweep_batch(
+        n_docs, _ptr_i64(doc_indptr), _ptr_i64(ws_flat), _ptr_i64(ts_flat),
+        _ptr_i64(cs_flat), seeds.ctypes.data_as(_U32P), T, C, W,
+        _ptr_i64(nct_flat), _ptr_i64(nwc_flat), _ptr_i64(nt), _ptr_i64(nc),
+        _ptr_i64(cls_indptr), _ptr_i64(cls_data),
+        alpha, beta, zeta, C * beta, W * zeta,
+        _ptr_i64(ntd_scratch), _ptr_f64(termc_scratch),
+        _ptr_f64(cdf_scratch),
+        *(_ptr_i64(o) for o in outs), _ptr_i64(ch_counts),
+    )
+    return tuple(o[:n] for o in outs) + (ch_counts,)

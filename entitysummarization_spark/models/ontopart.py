@@ -56,6 +56,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import native_kernel
 from .gibbs import tokens_from_corpus
 from .oracle import reseed, rng_for
 from .state_lifecycle import CheckpointedStateLifecycle
@@ -83,6 +84,10 @@ class OntoPartConfig:
     n_partitions: int = 8
     # durable per-sweep checkpointing — see models/state_lifecycle.py
     reliable_checkpoint: bool = False
+    # "native" = the runtime-compiled C grid kernel (bit-identical; falls
+    # back to "python" where no C compiler exists); "python" = the
+    # per-token NumPy loop the oracle parity tests arbitrate against
+    kernel: str = "native"
 
     @property
     def alpha_eff(self) -> float:
@@ -210,6 +215,58 @@ class OntoPartOracle:
         return np.round(theta, 4), np.round(phi, 4), np.round(zeta, 4)
 
 
+def _onto_compiled_batches(
+    batches, lib, csr, nct0, nwc0, T, C, W, alpha, beta, zeta, seed,
+    sweep_idx, max_cls,
+):
+    """Arrow-batch loop for the compiled M6 kernel: flat token layout,
+    one C call per batch (native_kernel.onto_sweep_batch). Same AD-LDA
+    working copies and changed-token outputs as the python path."""
+    cls_indptr, cls_data = csr
+    nct_flat = nct0.ravel().copy()
+    nwc_flat = nwc0.ravel().copy()
+    nt = nct0.sum(axis=1)
+    nc = nwc0.sum(axis=1)
+    ntd_scratch = np.zeros(T, dtype=np.int64)
+    termc_scratch = np.empty(max(max_cls, 1), dtype=np.float64)
+    cdf_scratch = np.empty(max(T * max_cls, 1), dtype=np.float64)
+    for b in batches:
+        n = len(b)
+        if n == 0:
+            continue
+        ws_list = [np.ascontiguousarray(x, dtype=np.int64) for x in b["words"]]
+        lens = np.fromiter((x.size for x in ws_list), np.int64, n)
+        doc_indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=doc_indptr[1:])
+        ws_flat = np.concatenate(ws_list)
+        ts_flat = np.concatenate([np.asarray(x, np.int64) for x in b["ts"]])
+        cs_flat = np.concatenate([np.asarray(x, np.int64) for x in b["cs"]])
+        seeds = (
+            (seed * 1_000_003 + sweep_idx * 10_007
+             + b["doc_id"].to_numpy(np.int64) * 131) % (2**32 - 1)
+        ).astype(np.uint32)
+        ch_w, ch_to, ch_co, ch_tn, ch_cn, ch_counts = (
+            native_kernel.onto_sweep_batch_native(
+                lib, doc_indptr, ws_flat, ts_flat, cs_flat, seeds, T, C, W,
+                nct_flat, nwc_flat, nt, nc, cls_indptr, cls_data,
+                alpha, beta, zeta, ntd_scratch, termc_scratch, cdf_scratch,
+            )
+        )
+        ch_indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(ch_counts, out=ch_indptr[1:])
+        yield pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "words": b["words"],
+            "ts": np.split(ts_flat, doc_indptr[1:-1]),
+            "cs": np.split(cs_flat, doc_indptr[1:-1]),
+            "dw": np.split(ch_w, ch_indptr[1:-1]),
+            "dto": np.split(ch_to, ch_indptr[1:-1]),
+            "dco": np.split(ch_co, ch_indptr[1:-1]),
+            "dtn": np.split(ch_tn, ch_indptr[1:-1]),
+            "dcn": np.split(ch_cn, ch_indptr[1:-1]),
+        })
+
+
 class DistributedOntoPart(CheckpointedStateLifecycle):
     """Driver-side sweep loop, AD-LDA over DataFrame token state.
 
@@ -228,6 +285,22 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
         self.spark = spark
         self.cfg = cfg
         self.cls_cand = _collect_cls_cand(class_word)
+        self.kernel = cfg.kernel
+        if self.kernel == "native" and not native_kernel.native_available():
+            import warnings
+
+            warnings.warn(
+                "OntoPart kernel='native': no C compiler — using 'python'"
+                " (bit-identical, slower)", stacklevel=2,
+            )
+            self.kernel = "python"
+        if self.kernel == "native":
+            self._csr = native_kernel.cand_to_csr(
+                self.cls_cand, cfg.n_words
+            )
+            self._max_cls = (
+                int(np.diff(self._csr[0]).max()) if self.cls_cand else 1
+            )
         self.corpus = corpus
         self.state: DataFrame | None = None
         self.nct: np.ndarray | None = None
@@ -332,14 +405,37 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
     def sweep(self) -> None:
         cfg = self.cfg
         sweep_idx = self.sweeps_done
+        kernel = self.kernel
+        # the compiled kernel ships CSR-packed candidates; the python
+        # kernel the dict (an executor whose compile fails rebuilds the
+        # dict from the CSR — cheap, and every kernel is bit-identical)
+        cand_payload = self._csr if kernel == "native" else self.cls_cand
         bc = self.spark.sparkContext.broadcast(
-            (self.nct, self.nwc, self.cls_cand)
+            (self.nct, self.nwc, cand_payload)
         )
         T, C, W = cfg.n_topics, cfg.n_classes, cfg.n_words
         a, b, z0, seed = cfg.alpha_eff, cfg.beta, cfg.zeta, cfg.base_seed
+        max_cls = self._max_cls if kernel == "native" else 0
 
         def sweep_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             nct, nwc, cand = bc.value
+            kern = kernel
+            lib = None
+            if kern == "native":
+                lib = native_kernel.load_native()
+                if lib is None:  # degrade: rebuild the dict from the CSR
+                    indptr, data = cand
+                    cand = {
+                        w: data[indptr[w]:indptr[w + 1]]
+                        for w in range(len(indptr) - 1)
+                    }
+                    kern = "python"
+            if kern == "native":
+                yield from _onto_compiled_batches(
+                    batches, lib, cand, nct, nwc, T, C, W, a, b, z0,
+                    seed, sweep_idx, max_cls,
+                )
+                return
             nct = nct.copy()      # partition-local working copies (AD-LDA)
             nwc = nwc.copy()
             nt = nct.sum(axis=1)
