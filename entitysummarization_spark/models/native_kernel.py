@@ -145,6 +145,11 @@ int64_t sweep_batch(
             nwp[p_old * W + w]--;
             const int64_t s = cand_indptr[w];
             const int64_t m = cand_indptr[w + 1] - s;
+            if (m <= 0) {  /* impossible by corpus construction; keep
+                              counts consistent rather than read OOB */
+                nd[p_old]++; np_[p_old]++; nwp[p_old * W + w]++;
+                continue;
+            }
             double total = 0.0;
             for (int64_t k = 0; k < m; k++) {
                 const int64_t cj = cand_data[s + k];
@@ -232,6 +237,11 @@ int64_t onto_sweep_batch(
             nc[cold]--;
             const int64_t s = cls_indptr[w];
             const int64_t m = cls_indptr[w + 1] - s;
+            if (m <= 0) {  /* impossible by construction; see sweep_batch */
+                ntd[told]++; nct[told * C + cold]++; nwc[cold * W + w]++;
+                nt[told]++; nc[cold]++;
+                continue;
+            }
             for (int64_t k = 0; k < m; k++) {
                 const int64_t c = cls_data[s + k];
                 termc[k] = ((double)nwc[c * W + w] + zeta)
@@ -291,7 +301,10 @@ _CACHE: dict[str, ctypes.CDLL | None] = {}
 
 def _build_path() -> str:
     h = hashlib.sha256(C_SOURCE.encode()).hexdigest()[:16]
-    user = getpass.getuser() or "u"
+    try:
+        user = getpass.getuser() or "u"
+    except (KeyError, OSError):  # containers without a passwd entry
+        user = f"uid{os.getuid()}" if hasattr(os, "getuid") else "u"
     return os.path.join(
         tempfile.gettempdir(), f"esum_native_{user}_{h}", "kernel.so"
     )

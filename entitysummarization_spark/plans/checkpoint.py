@@ -73,15 +73,21 @@ def load_checkpoint(
     corpus,
     obj_pred,
     lam_df,
+    kernel: str | None = None,
 ) -> DistributedGibbs:
-    """Rebuild a DistributedGibbs positioned at the checkpointed sweep."""
+    """Rebuild a DistributedGibbs positioned at the checkpointed sweep.
+
+    ``kernel`` overrides the checkpoint's recorded kernel — every kernel
+    is bit-identical, so a chain checkpointed under one may resume under
+    another (e.g. native on the cluster, fast on a compiler-less box);
+    test_gibbs.py asserts the cross-kernel resume equality."""
     with open(os.path.join(ckpt_dir, "meta.json")) as f:
         meta = json.load(f)
     cfg = GibbsConfig(
         n_preds=meta["n_preds"], n_words=meta["n_words"], alpha=meta["alpha"],
         beta=meta["beta"], base_seed=meta["base_seed"],
         n_partitions=meta["n_partitions"],
-        kernel=meta.get("kernel", "fast"),
+        kernel=kernel or meta.get("kernel", "fast"),
     )
     g = DistributedGibbs(spark, corpus, obj_pred, lam_df, cfg)
     state = spark.read.parquet(os.path.join(ckpt_dir, "state"))

@@ -60,7 +60,12 @@ def test_alpha_from_neighbors_closed_form():
     assert np.allclose(av, expect)
 
 
-def test_m3_single_partition_bit_parity(spark, bundle):
+@pytest.mark.filterwarnings("ignore:kernel='numba'")  # expected degrade
+@pytest.mark.parametrize("kernel", ["native", "fast", "numba"])
+def test_m3_single_partition_bit_parity(spark, bundle, kernel):
+    """The M3 per-doc-alpha path must hold bit-parity under EVERY kernel
+    (the per-doc alpha vector takes a different code path in the
+    compiled kernels than the scalar M1 alpha does)."""
     b, P, W = bundle
     corpus, cand, lam = _oracle_inputs(b, P, W)
     edges = _ring_edges(corpus)
@@ -73,7 +78,8 @@ def test_m3_single_partition_bit_parity(spark, bundle):
     oracle.run(4)
 
     sr = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    cfg = GibbsConfig(n_preds=P, n_words=W, base_seed=11, n_partitions=1)
+    cfg = GibbsConfig(n_preds=P, n_words=W, base_seed=11, n_partitions=1,
+                      kernel=kernel)
     g = DistributedGibbs(spark, b.corpus, b.obj_pred, b.lam, cfg, doc_sr=sr)
     g.run(4)
 
