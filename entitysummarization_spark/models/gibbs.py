@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import native_kernel, numba_kernel
-from .oracle import alpha_from_neighbors, reseed, rng_for, seed_for
+from .oracle import alpha_from_neighbors, reseed
 from .state_lifecycle import CheckpointedStateLifecycle
 
 STATE_SCHEMA = "doc_id long, words array<long>, zs array<long>"
