@@ -47,6 +47,7 @@ def run_pipeline(
     min_word_freq: int = 1,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
+    kernel: str = "native",
 ) -> PipelineResult:
     """``checkpoint_dir`` + ``checkpoint_every=k`` saves the sampler state
     every k sweeps (north-rule resume: a killed run restarts from the last
@@ -70,7 +71,7 @@ def run_pipeline(
                               summaries=empty_sum, gibbs=None)
     cfg = GibbsConfig(
         n_preds=int(n_preds), n_words=int(n_words), alpha=alpha, beta=beta,
-        base_seed=base_seed, n_partitions=n_partitions,
+        base_seed=base_seed, n_partitions=n_partitions, kernel=kernel,
     )
     gibbs = DistributedGibbs(spark, bundle.corpus, bundle.obj_pred, bundle.lam, cfg)
     if checkpoint_dir and checkpoint_every > 0:

@@ -42,6 +42,10 @@ def main() -> None:
                     help="sampler partitions (0 → defaultParallelism)")
     ap.add_argument("--checkpoint-every", type=int, default=10)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--kernel", default="native",
+                    choices=["native", "numba", "fast", "reference"],
+                    help="Gibbs sweep kernel (all bit-identical; native "
+                         "falls back to fast where no C compiler exists)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,7 +75,7 @@ def main() -> None:
     ck_dir = os.path.join(args.output, "checkpoints")
     result = run_pipeline(
         spark, repos, vocab=vocab, n_sweeps=args.sweeps, k=args.k,
-        base_seed=args.seed, n_partitions=n_parts,
+        base_seed=args.seed, n_partitions=n_parts, kernel=args.kernel,
         # mid-run resume points every k sweeps (a long sweep schedule
         # restarts from the last saved sweep, not from zero)
         checkpoint_dir=ck_dir, checkpoint_every=args.checkpoint_every,
