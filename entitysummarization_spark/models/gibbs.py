@@ -222,6 +222,66 @@ def _m3_alpha_rows(nbr_col, P: float, alpha: float, eps: float):
         yield alpha_from_neighbors(tup, P, alpha, eps)
 
 
+def _run_arrow_batches(
+    batches, lib, const, nwp, np_, P, alpha, seed, sweep_idx,
+):
+    """mapInArrow loop for the native kernel (M1/M2/M5 path): Arrow list
+    columns already hold a FLAT values buffer + offsets, which is
+    exactly the kernel's input layout — so tokens go Arrow→C with
+    zero-copy reads and no per-doc Python at all (the pandas path pays
+    O(docs) concatenate/split; at ~10-token docs that rivaled the
+    kernel itself). Output reuses the input words column unchanged and
+    wraps the kernel's flat outputs back into ListArrays by offset."""
+    import pyarrow as pa
+
+    W = nwp.shape[1]
+    nwp_flat = nwp.ravel().copy()
+    np_arr = np_.copy()
+    csr_indptr = const["csr_indptr"]
+    csr_data = const["csr_data"]
+    lam_beta = const["lam_beta"]
+    slb = np.ascontiguousarray(const["slb"])
+    nd_scratch = np.zeros(P, dtype=np.int64)
+    cdf_scratch = np.empty(max(int(const["max_cand"]), 1), dtype=np.float64)
+    for rb in batches:
+        n = rb.num_rows
+        if n == 0:
+            continue
+        doc_ids = rb.column(0).to_numpy(zero_copy_only=False)
+        words_col = rb.column(1)
+        offsets32 = words_col.offsets.to_numpy(zero_copy_only=False)
+        doc_indptr = (offsets32 - offsets32[0]).astype(np.int64)
+        ws_flat = np.ascontiguousarray(
+            words_col.flatten().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        zs_flat = np.array(
+            rb.column(2).flatten().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )  # writable copy — the kernel mutates in place
+        seeds = (
+            (seed * 1_000_003 + sweep_idx * 10_007
+             + doc_ids.astype(np.int64) * 131) % (2**32 - 1)
+        ).astype(np.uint32)
+        ch_w, ch_old, ch_new, ch_counts = native_kernel.sweep_batch_native(
+            lib, doc_indptr, ws_flat, zs_flat, seeds, P, W, nwp_flat,
+            np_arr, csr_indptr, csr_data, lam_beta, slb, alpha,
+            None, None, nd_scratch, cdf_scratch,
+        )
+        ch_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(ch_counts, out=ch_off[1:], dtype=np.int32)
+
+        def lst(off, vals):
+            return pa.ListArray.from_arrays(pa.array(off), pa.array(vals))
+
+        yield pa.RecordBatch.from_arrays(
+            [rb.column(0), words_col,
+             lst(doc_indptr.astype(np.int32), zs_flat),
+             lst(ch_off, ch_w), lst(ch_off, ch_old), lst(ch_off, ch_new)],
+            names=["doc_id", "words", "zs", "dw", "dp_old", "dp_new"],
+        )
+
+
 def _run_compiled_batches(
     batches, kern, lib, const, nwp, np_, P, alpha, seed, sweep_idx,
     use_m3, eps,
@@ -681,6 +741,27 @@ class DistributedGibbs(CheckpointedStateLifecycle):
                      "dp_new": dnew_col}
                 )
 
+        def sweep_fn_arrow(batches):
+            # Arrow-native twin of sweep_fn for the C kernel (no M3):
+            # falls back to the pandas path only if this executor cannot
+            # compile (then via the fast kernel — bit-identical)
+            lib = native_kernel.load_native()
+            if lib is None:
+                import pyarrow as pa
+
+                def as_pandas():
+                    for rb in batches:
+                        yield pa.Table.from_batches([rb]).to_pandas()
+
+                for pdf_out in sweep_fn(as_pandas()):
+                    yield pa.RecordBatch.from_pandas(pdf_out)
+                return
+            const = const_bc.value
+            nwp, np_ = bc.value
+            yield from _run_arrow_batches(
+                batches, lib, const, nwp, np_, P, alpha, seed, sweep_idx,
+            )
+
         old = self.state
         # project away a previous sweep's delta columns (their aggregation
         # already happened) so they neither ride through Arrow nor grow the
@@ -694,16 +775,24 @@ class DistributedGibbs(CheckpointedStateLifecycle):
             if use_m3
             else base
         )
-        # partitioning by doc_id is already established; mapInPandas
-        # preserves it. localCheckpoint materializes the sweep AND truncates
-        # lineage — without it the plan chains one mapInPandas per sweep
-        # (O(n) plan growth, and every sweep's broadcast stays referenced
-        # for task re-serialization: an unbounded leak at 1000 sweeps).
-        new_state = self._local_checkpoint(
-            src.sortWithinPartitions("doc_id").mapInPandas(
+        # partitioning by doc_id is already established; mapInPandas /
+        # mapInArrow preserve it. localCheckpoint materializes the sweep
+        # AND truncates lineage — without it the plan chains one map per
+        # sweep (O(n) plan growth, and every sweep's broadcast stays
+        # referenced for task re-serialization: an unbounded leak at
+        # 1000 sweeps). The native non-M3 path goes through mapInArrow
+        # (zero-copy flat token buffers, no per-doc Python — see
+        # _run_arrow_batches).
+        if kernel == "native" and not use_m3:
+            swept = src.sortWithinPartitions("doc_id").mapInArrow(
+                sweep_fn_arrow, SWEEP_SCHEMA
+            )
+        else:
+            swept = src.sortWithinPartitions("doc_id").mapInPandas(
                 sweep_fn, SWEEP_SCHEMA
-            ),
-            reliable=cfg.reliable_checkpoint,
+            )
+        new_state = self._local_checkpoint(
+            swept, reliable=cfg.reliable_checkpoint,
         )
         self._release_old_state(old)
         self.state = new_state
