@@ -267,6 +267,73 @@ def _onto_compiled_batches(
         })
 
 
+def _onto_arrow_batches(
+    batches, lib, csr, nct0, nwc0, T, C, W, alpha, beta, zeta, seed,
+    sweep_idx, max_cls,
+):
+    """mapInArrow loop for the compiled M6 kernel — same zero-copy layout
+    trick as gibbs._run_arrow_batches: Arrow list columns already store
+    the flat values buffer + offsets the C kernel consumes, so no per-doc
+    Python and no pandas materialization. Output reuses the input words
+    column; ts/cs/changed-token outputs are rewrapped by offset."""
+    import pyarrow as pa
+
+    cls_indptr, cls_data = csr
+    nct_flat = nct0.ravel().copy()
+    nwc_flat = nwc0.ravel().copy()
+    nt = nct0.sum(axis=1)
+    nc = nwc0.sum(axis=1)
+    ntd_scratch = np.zeros(T, dtype=np.int64)
+    termc_scratch = np.empty(max(max_cls, 1), dtype=np.float64)
+    cdf_scratch = np.empty(max(T * max_cls, 1), dtype=np.float64)
+    for rb in batches:
+        n = rb.num_rows
+        if n == 0:
+            continue
+        doc_ids = rb.column(0).to_numpy(zero_copy_only=False)
+        words_col = rb.column(1)
+        offsets32 = words_col.offsets.to_numpy(zero_copy_only=False)
+        doc_indptr = (offsets32 - offsets32[0]).astype(np.int64)
+        ws_flat = np.ascontiguousarray(
+            words_col.flatten().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        # writable copies — the kernel mutates both in place
+        ts_flat = np.array(
+            rb.column(2).flatten().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        cs_flat = np.array(
+            rb.column(3).flatten().to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        seeds = (
+            (seed * 1_000_003 + sweep_idx * 10_007
+             + doc_ids.astype(np.int64) * 131) % (2**32 - 1)
+        ).astype(np.uint32)
+        ch_w, ch_to, ch_co, ch_tn, ch_cn, ch_counts = (
+            native_kernel.onto_sweep_batch_native(
+                lib, doc_indptr, ws_flat, ts_flat, cs_flat, seeds, T, C, W,
+                nct_flat, nwc_flat, nt, nc, cls_indptr, cls_data,
+                alpha, beta, zeta, ntd_scratch, termc_scratch, cdf_scratch,
+            )
+        )
+        ch_off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(ch_counts, out=ch_off[1:], dtype=np.int32)
+        off32 = doc_indptr.astype(np.int32)
+
+        def lst(off, vals):
+            return pa.ListArray.from_arrays(pa.array(off), pa.array(vals))
+
+        yield pa.RecordBatch.from_arrays(
+            [rb.column(0), words_col, lst(off32, ts_flat),
+             lst(off32, cs_flat), lst(ch_off, ch_w), lst(ch_off, ch_to),
+             lst(ch_off, ch_co), lst(ch_off, ch_tn), lst(ch_off, ch_cn)],
+            names=["doc_id", "words", "ts", "cs",
+                   "dw", "dto", "dco", "dtn", "dcn"],
+        )
+
+
 class DistributedOntoPart(CheckpointedStateLifecycle):
     """Driver-side sweep loop, AD-LDA over DataFrame token state.
 
@@ -488,13 +555,41 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
                      "dco": dco_c, "dtn": dtn_c, "dcn": dcn_c}
                 )
 
+        def sweep_fn_arrow(batches):
+            # Arrow-native twin of sweep_fn for the C kernel: falls back
+            # to the pandas path only if this executor cannot compile
+            # (then via the python kernel — bit-identical)
+            lib = native_kernel.load_native()
+            if lib is None:
+                import pyarrow as pa
+
+                def as_pandas():
+                    for rb in batches:
+                        yield pa.Table.from_batches([rb]).to_pandas()
+
+                for pdf_out in sweep_fn(as_pandas()):
+                    yield pa.RecordBatch.from_pandas(pdf_out)
+                return
+            nct, nwc, cand = bc.value
+            yield from _onto_arrow_batches(
+                batches, lib, cand, nct, nwc, T, C, W, a, b, z0,
+                seed, sweep_idx, max_cls,
+            )
+
         old = self.state
         base = old.select("doc_id", "words", "ts", "cs")
-        new_state = self._local_checkpoint(
-            base.sortWithinPartitions("doc_id").mapInPandas(
+        # the native path goes through mapInArrow — zero-copy flat token
+        # buffers straight into the C kernel (see _onto_arrow_batches)
+        if kernel == "native":
+            swept = base.sortWithinPartitions("doc_id").mapInArrow(
+                sweep_fn_arrow, SWEEP_SCHEMA
+            )
+        else:
+            swept = base.sortWithinPartitions("doc_id").mapInPandas(
                 sweep_fn, SWEEP_SCHEMA
-            ),
-            reliable=cfg.reliable_checkpoint,
+            )
+        new_state = self._local_checkpoint(
+            swept, reliable=cfg.reliable_checkpoint,
         )
         self._release_old_state(old)
         self.state = new_state
