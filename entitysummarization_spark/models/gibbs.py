@@ -791,13 +791,19 @@ class DistributedGibbs(CheckpointedStateLifecycle):
             swept = src.sortWithinPartitions("doc_id").mapInPandas(
                 sweep_fn, SWEEP_SCHEMA
             )
+        # lazy local checkpoint: the delta aggregation below is the action
+        # that materializes (and persists + lineage-truncates) the new
+        # state — one job per sweep instead of checkpoint-then-aggregate.
+        # The old state is released only AFTER that job: the sweep reads
+        # its blocks.
         new_state = self._local_checkpoint(
-            swept, reliable=cfg.reliable_checkpoint,
+            swept, reliable=cfg.reliable_checkpoint, eager=False,
         )
-        self._release_old_state(old)
         self.state = new_state
         self.sweeps_done += 1
         self._apply_count_deltas()
+        self._finalize_lazy_checkpoint()
+        self._release_old_state(old)
         # The PREVIOUS sweep's broadcast is now unreferenced (its state was
         # checkpointed a sweep ago and unpersisted above) — destroy it
         # explicitly instead of waiting on ContextCleaner; the current bc is

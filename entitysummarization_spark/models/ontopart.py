@@ -588,13 +588,17 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
             swept = base.sortWithinPartitions("doc_id").mapInPandas(
                 sweep_fn, SWEEP_SCHEMA
             )
+        # lazy local checkpoint — materialized by the delta aggregation
+        # (one job per sweep); old state released after that job (see
+        # gibbs.sweep for the full rationale)
         new_state = self._local_checkpoint(
-            swept, reliable=cfg.reliable_checkpoint,
+            swept, reliable=cfg.reliable_checkpoint, eager=False,
         )
-        self._release_old_state(old)
         self.state = new_state
         self.sweeps_done += 1
         self._apply_count_deltas()
+        self._finalize_lazy_checkpoint()
+        self._release_old_state(old)
         self._retire_broadcast(bc)
 
     def run(self, n_sweeps: int) -> None:

@@ -63,15 +63,44 @@ class CheckpointedStateLifecycle:
             return None
         return plan.rdd()
 
-    def _local_checkpoint(self, df: DataFrame, reliable: bool = False) -> DataFrame:
+    def _local_checkpoint(
+        self, df: DataFrame, reliable: bool = False, eager: bool = True
+    ) -> DataFrame:
+        """``eager=False`` (local path only) defers materialization to the
+        caller's next action — the samplers use this to fuse checkpoint
+        materialization into the delta-count aggregation, one job per
+        sweep instead of two. localCheckpoint persists its blocks during
+        whichever job first computes the RDD and truncates lineage at
+        that job's end, so the steady state is identical; the caller MUST
+        run an action over the returned state before releasing the
+        previous one. Reliable checkpoints stay eager: a non-eager
+        ``Dataset.checkpoint`` recomputes the RDD a second time to write
+        it unless it is already persisted."""
         if reliable:
             out = df.checkpoint(eager=True)  # needs setCheckpointDir
         else:
-            out = df.localCheckpoint(eager=True)
+            out = df.localCheckpoint(eager=eager)
         handle = self._checkpointed_rdd_handle(out)
         self._pending_release = self._state_handles
         self._state_handles = [handle] if handle is not None else []
         return out
+
+    def _finalize_lazy_checkpoint(self) -> None:
+        """Force lineage truncation of the current (lazily-checkpointed)
+        state. Needed because AQE materializes shuffle map stages via
+        ``submitMapStage``, which — unlike ``runJob`` — never calls
+        ``rdd.doCheckpoint()``; when the caller's materializing action
+        short-circuits after the map stage (e.g. an empty delta
+        aggregation), the state's blocks are cached but its lineage still
+        chains every previous sweep (and keeps their broadcasts
+        referenced — INTERNAL_ERROR_BROADCAST two sweeps later).
+        ``RDD.doCheckpoint`` is idempotent and, with all partitions
+        already cached by the map stage, truncates without launching a
+        job (LocalRDDCheckpointData computes only MISSING partitions).
+        private[spark] in Scala compiles to a public method, so py4j can
+        call it."""
+        for h in self._state_handles:
+            h.doCheckpoint()
 
     def _release_old_state(self, old: DataFrame) -> None:
         old.unpersist()  # covers a plain-persisted state (restore path)

@@ -127,3 +127,39 @@ def test_checkpoint_resume_bit_identical(spark, bundle, tmp_path):
     for d in za:
         assert np.array_equal(za[d], zc[d]), f"doc {d} (cross-kernel)"
     assert np.array_equal(g_full.nwp, g_c.nwp)
+
+
+def test_zero_change_chain_survives_broadcast_retirement(spark):
+    """Regression: a corpus where every word has exactly ONE candidate
+    predicate never changes any z — every sweep's delta aggregation is
+    EMPTY, so AQE materializes the map stage via submitMapStage and
+    short-circuits the final stage, and (before the explicit
+    _finalize_lazy_checkpoint) the lazily-checkpointed state's lineage
+    was never truncated: sweep k+2's task serialization then hit the
+    destroyed sweep-k broadcast (INTERNAL_ERROR_BROADCAST). Five sweeps
+    over two partitions reproduce the original failure at sweep 2."""
+    from entitysummarization_spark.models.gibbs import (
+        DistributedGibbs,
+        GibbsConfig,
+    )
+    from entitysummarization_spark.operators.corpus import build_corpus
+
+    rows = [
+        (f"doc:{d}", f"pred_{w % 3}", f"obj_{w}", 1 + (d + w) % 2)
+        for d in range(10)
+        for w in range(6)
+    ]
+    canon = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, freq long"
+    )
+    b = build_corpus(canon)
+    P, W = int(b.preds.count()), int(b.words.count())
+    g = DistributedGibbs(
+        spark, b.corpus, b.obj_pred, b.lam,
+        GibbsConfig(n_preds=P, n_words=W, base_seed=3, n_partitions=2),
+    )
+    g.run(5)  # raised INTERNAL_ERROR_BROADCAST at sweep 2 before the fix
+    assert g.last_sweep_changes == 0
+    # counts must still be exact (delta refresh over zero deltas)
+    assert int(g.nwp.sum()) == sum(r[3] for r in rows)
+    g.close()
