@@ -1021,8 +1021,9 @@ def gibbs_sweep_bench(spark, fx, replicate: int = 100,
 
     n_partitions=8 (not CPUS) so each partition carries ~500 k tokens —
     the 100-TB-realistic regime where per-partition kernel compute
-    dominates the fixed per-sweep Spark cost (mapInPandas job launch +
-    Arrow state transfer + delta count refresh, ~1.2 s at this fixture).
+    dominates the fixed per-sweep Spark cost (one fused
+    mapInArrow-sweep + checkpoint + delta-refresh job, ~0.4 s at this
+    fixture).
     End-to-end time still includes that fixed cost, so the e2e ratio
     under-states the pure kernel speedup — kernel_micro reports the
     single-core compute rate that dominates at real partition sizes."""
