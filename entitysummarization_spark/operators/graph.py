@@ -417,7 +417,7 @@ def textrank_words(
     """
     from ..functions.automaton import tokenize
 
-    def rank_one(batch: pd.DataFrame) -> pd.DataFrame:
+    def rank_one(key: tuple, batch: pd.DataFrame) -> pd.DataFrame:
         out = []
         for did, txt in zip(batch[id_col], batch[text_col]):
             toks = tokenize(txt)
@@ -449,7 +449,7 @@ def textrank_words(
     return (
         docs.select(id_col, text_col)
         .groupBy(id_col)
-        .applyInPandas(lambda _, b: rank_one(b), TEXTRANK_SCHEMA)
+        .applyInPandas(rank_one, TEXTRANK_SCHEMA)
     )
 
 

@@ -4,6 +4,15 @@ log. Lets a session retry the scaling measurement opportunistically
 without re-running the headline/Gibbs sections each time.
 
 Run: env PYTHONPATH=/root/repo python scripts/run_scaling_only.py
+
+Optional gate: SCALING_MIN_PREPROBE=0.93 aborts (exit 3, nothing
+logged) when the pre-run hardware-ceiling probe reads below the
+threshold — i.e. tenant load is already eating the box at launch.
+A watcher loop can then fire this script on every quiet loadavg poll
+and only pay the ~30-minute measurement when the window is real:
+loadavg is a trailing indicator (runs 9/13/14 fired at loadavg
+0.02-0.06 and were still overtaken), while the probe measures the
+actual 4-vs-16-core headroom at this instant.
 """
 
 from __future__ import annotations
@@ -22,6 +31,11 @@ def main() -> None:
     t0 = time.perf_counter()
     hw = bench._hw_ceiling()
     print(f"[scaling-only] pre-run hw ceiling {hw}", file=sys.stderr)
+    gate = float(os.environ.get("SCALING_MIN_PREPROBE", "0") or 0)
+    if hw < gate:
+        print(f"[scaling-only] ABORT: pre-probe {hw} < gate {gate} "
+              "(window already contended); nothing logged", file=sys.stderr)
+        sys.exit(3)
     res = bench.scaling_run(hw)
     res["wall_sec"] = round(time.perf_counter() - t0, 1)
     res["stamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
