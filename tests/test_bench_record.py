@@ -42,3 +42,30 @@ def test_committed_log_clears_the_median_gate():
     best = bench.best_recorded_scaling()
     assert best is not None
     assert best["efficiency_median_paired"] >= 0.8
+
+
+def test_preprobe_gate_aborts_without_logging(monkeypatch, tmp_path):
+    """run_scaling_only with SCALING_MIN_PREPROBE above the measured
+    pre-probe must exit 3 BEFORE scaling_run and write nothing — the
+    watcher relies on this to abandon contended launch instants cheaply."""
+    import importlib.util
+    import os
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "run_scaling_only",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "run_scaling_only.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.setattr(mod.bench, "_hw_ceiling", lambda: 0.55)
+
+    def boom(hw):  # must never be reached on an aborted launch
+        raise AssertionError("scaling_run called despite failed gate")
+
+    monkeypatch.setattr(mod.bench, "scaling_run", boom)
+    monkeypatch.setenv("SCALING_MIN_PREPROBE", "0.93")
+    with pytest.raises(SystemExit) as exc:
+        mod.main()
+    assert exc.value.code == 3
