@@ -29,9 +29,20 @@ import bench  # noqa: E402
 
 def main() -> None:
     t0 = time.perf_counter()
-    hw = bench._hw_ceiling()
-    print(f"[scaling-only] pre-run hw ceiling {hw}", file=sys.stderr)
+    # Max over a few probes, the same max-estimator discipline
+    # _ceiling_sample itself uses: the FIRST probe in a fresh process
+    # systematically under-reads (measured on an idle, freshly booted
+    # box: 0.803/0.811 cold vs 0.92-0.97 on immediate re-probe — cold
+    # fork/page-fault cost hits the 16-worker leg 4x harder). Gating on
+    # a single cold probe would park forever on a genuinely clean box.
     gate = float(os.environ.get("SCALING_MIN_PREPROBE", "0") or 0)
+    hw = 0.0
+    for i in range(3):
+        hw = max(hw, bench._hw_ceiling())
+        print(f"[scaling-only] pre-run hw ceiling probe {i}: {hw}",
+              file=sys.stderr)
+        if not gate or hw >= gate:
+            break
     if hw < gate:
         print(f"[scaling-only] ABORT: pre-probe {hw} < gate {gate} "
               "(window already contended); nothing logged", file=sys.stderr)
@@ -39,8 +50,9 @@ def main() -> None:
     res = bench.scaling_run(hw)
     res["wall_sec"] = round(time.perf_counter() - t0, 1)
     res["stamp"] = time.strftime("%Y-%m-%dT%H:%M:%S")
-    log = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_SCALING_CLEAN.json")
+    log = os.environ.get("SCALING_LOG_PATH") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SCALING_CLEAN.json")
     try:
         with open(log) as fh:
             doc = json.load(fh)

@@ -69,3 +69,41 @@ def test_preprobe_gate_aborts_without_logging(monkeypatch, tmp_path):
     with pytest.raises(SystemExit) as exc:
         mod.main()
     assert exc.value.code == 3
+
+
+def test_preprobe_gate_retries_past_a_cold_first_probe(monkeypatch,
+                                                       tmp_path):
+    """A cold first probe under the gate must NOT abort the launch: the
+    gate takes the max of up to three probes (measured on an idle,
+    freshly booted box: first probe 0.80-0.81, immediate re-probes
+    0.92-0.97 — cold fork/page-fault cost hits the 16-worker leg
+    hardest). The run proceeds and passes the MAX, not the last
+    reading, to scaling_run."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "run_scaling_only_retry",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "run_scaling_only.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    readings = iter([0.80, 0.95, 0.70])
+    monkeypatch.setattr(mod.bench, "_hw_ceiling", lambda: next(readings))
+
+    seen = {}
+
+    def fake_run(hw):
+        seen["hw"] = hw
+        return {"efficiency": 1.0, "efficiency_median_paired": 1.0}
+
+    monkeypatch.setattr(mod.bench, "scaling_run", fake_run)
+    monkeypatch.setenv("SCALING_MIN_PREPROBE", "0.93")
+    log = tmp_path / "hunt.json"
+    monkeypatch.setenv("SCALING_LOG_PATH", str(log))
+    mod.main()
+    assert seen["hw"] == 0.95
+    doc = json.loads(log.read_text())
+    assert doc["round5_runs"][-1]["efficiency"] == 1.0
