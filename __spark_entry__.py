@@ -891,6 +891,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " long, n_tokens long, marginal_violations long",
         )
 
+    def m4_invariants(spark, sf):
+        # M4 EntLDA2 joint (entity, topic) sampler (enttopicmodel/
+        # EntLDA2.java:143-165 intended semantics; the reference's
+        # neighbour-indexing and int-division quirks are documented in
+        # models/entlda2.py and not reproduced). SURVEY §2.8 descoped M4
+        # as memory-explosive — the Java dense int[E][T][W] tensor; the
+        # Spark form carries Nwte SPARSE (nnz ≤ tokens), which un-descopes
+        # it. (a) a 1-partition run must be bit-identical to the NumPy
+        # oracle through the full burn-in/optimize/computeAlpha schedule
+        # (z/e, count, θ, α, φ mismatch counts = 0); (b) a 3-partition
+        # AD-LDA run conserves tokens across all three count structures,
+        # keeps counts non-negative with exact marginals, and every token
+        # of a candidate-bearing doc lands on a doc candidate. Inputs:
+        # fixtures/samplers.py (shared with tests/test_entlda2_m4.py).
+        import numpy as np
+
+        from entitysummarization_spark.fixtures.samplers import (
+            M4_E, M4_T, M4_W, grouped_corpus, m4_corpus_rows, m4_ent_rows,
+        )
+        from entitysummarization_spark.models.entlda2 import (
+            DistributedEntLda2, EntLda2Config, EntLda2Oracle,
+            nbrs_from_rows,
+        )
+
+        rows, ent_rows = m4_corpus_rows(), m4_ent_rows()
+        corpus_df = spark.createDataFrame(
+            rows, "doc_id long, word_id long, freq int"
+        )
+        doc_ent = spark.createDataFrame(
+            ent_rows,
+            "doc_id long, ent_id long, rel_ent_id long, sr double",
+        )
+
+        doc_cands: dict[int, set] = {}
+        for d, e, _r, _s in ent_rows:
+            doc_cands.setdefault(d, set()).add(e)
+        cands_np = {
+            d: np.asarray(sorted(es), dtype=np.int64)
+            for d, es in doc_cands.items()
+        }
+        nbrs, srs = nbrs_from_rows(ent_rows, M4_E)
+        cfg1 = EntLda2Config(
+            n_topics=M4_T, n_entities=M4_E, n_words=M4_W, n_partitions=1
+        )
+        orc = EntLda2Oracle(grouped_corpus(rows), cands_np, nbrs, srs, cfg1)
+        orc.run(4)
+        dist = DistributedEntLda2(spark, corpus_df, doc_ent, cfg1)
+        dist.run(4)
+        zs = dist.z_state()
+        z_mismatch_docs = abs(len(zs) - len(orc.doc_ids)) + sum(
+            int(
+                d not in zs
+                or not np.array_equal(zs[d][0], orc.es[d])
+                or not np.array_equal(zs[d][1], orc.zs[d])
+            )
+            for d in orc.doc_ids
+        )
+        count_mismatches = (
+            int(not np.array_equal(dist.nte, orc.nte))
+            + int(not np.array_equal(dist.ne, orc.ne))
+            + int(dist.nwte != orc.nwte)
+            + int(not np.array_equal(dist.theta, orc.theta))
+            + int(not np.array_equal(dist.alpha_mat, orc.alpha_mat))
+        )
+        phi_mismatches = int(not np.array_equal(dist.phi(), orc.phi()))
+
+        cfg3 = EntLda2Config(
+            n_topics=M4_T, n_entities=M4_E, n_words=M4_W, n_partitions=3
+        )
+        d3 = DistributedEntLda2(spark, corpus_df, doc_ent, cfg3)
+        d3.run(3)
+        n_tokens = int(d3.nte.sum())
+        n_tokens_nwte = sum(
+            c for s in d3.nwte.values() for c in s.values()
+        )
+        neg_cells = int((d3.nte < 0).sum()) + sum(
+            1 for s in d3.nwte.values() for c in s.values() if c < 0
+        )
+        marginal_violations = int((d3.ne != d3.nte.sum(axis=1)).sum())
+        z3 = d3.z_state()
+        cand_violations = sum(
+            int(not set(es.tolist()) <= set(cands_np[d].tolist()))
+            for d, (es, _ts) in z3.items()
+            if d in cands_np
+        )
+        return spark.createDataFrame(
+            [(z_mismatch_docs, count_mismatches, phi_mismatches, n_tokens,
+              n_tokens_nwte, neg_cells, marginal_violations,
+              cand_violations)],
+            "z_mismatch_docs long, count_mismatches long, phi_mismatches"
+            " long, n_tokens long, n_tokens_nwte long, neg_cells long,"
+            " marginal_violations long, cand_violations long",
+        )
+
     def m3_invariants(spark, sf):
         # M3 SR-smoothed per-doc α (enttopicmodel/EntLDA.java:319-338):
         # (a) 1-partition bit-parity vs the NumPy oracle under a
@@ -986,8 +1080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (empirically K=50 in r03/r04, but the intent — not the constant — is
     # what this ordering encodes): queries that still need their first
     # driver row lead, so any prefix the driver takes certifies them first.
-    # This round that is the three new M-variant invariant queries
-    # (m3/m5/m6) plus the five twins that sat past the cap in r04
+    # This round that is the M-variant invariant queries
+    # (m3/m4/m5/m6 — m4 is NEW this session: the formerly-descoped
+    # EntLDA2, un-descoped by the sparse-Nwte Spark design, needs its
+    # first row) plus the five twins that sat past the cap in r04
     # (lang_id_ngram, sessions, g14_tfidf_cosine_capped, g4_cc_star,
     # g7_pagerank — rotated IN per the r04 verdict). Eight primaries that
     # earned green r04 driver rows rotate OUT to the tail (lang_id,
@@ -1004,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m6_invariants": m6_invariants,
         "m3_invariants": m3_invariants,
         "m5_invariants": m5_invariants,
+        "m4_invariants": m4_invariants,
         "lang_id_ngram": lang_id_ngram,
         "sessions": sessions,
         "g14_tfidf_cosine_capped": g14_tfidf_cosine_capped,
@@ -2048,7 +2145,7 @@ def oracle_sql() -> dict[str, str]:
     # through Spark.
     from entitysummarization_spark.fixtures import make_fixture
     from entitysummarization_spark.fixtures.samplers import (
-        m5_corpus_rows, m6_corpus_rows,
+        m4_corpus_rows, m5_corpus_rows, m6_corpus_rows,
     )
     from entitysummarization_spark.functions.automaton import (
         AhoCorasick, tokenize,
@@ -2070,6 +2167,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT 0::BIGINT AS z_mismatch_docs, 0::BIGINT AS count_mismatches,
                0::BIGINT AS phi_mismatches, {m5_tokens}::BIGINT AS n_tokens,
                0::BIGINT AS marginal_violations
+    """
+    m4_tokens = sum(f for _, _, f in m4_corpus_rows())
+    out["m4_invariants"] = f"""
+        SELECT 0::BIGINT AS z_mismatch_docs, 0::BIGINT AS count_mismatches,
+               0::BIGINT AS phi_mismatches, {m4_tokens}::BIGINT AS n_tokens,
+               {m4_tokens}::BIGINT AS n_tokens_nwte, 0::BIGINT AS neg_cells,
+               0::BIGINT AS marginal_violations, 0::BIGINT AS cand_violations
     """
     fx24 = make_fixture(n_files=60, seed=42)
     sub24 = fx24.vocab[fx24.vocab["attr"] <= 2]

@@ -62,6 +62,38 @@ def m5_cat_rows() -> list[tuple[int, int, int]]:
     ]
 
 
+# ---- M4 EntLDA2 joint (entity, topic) sampler (enttopicmodel/
+# EntLDA2.java:143-165) ------------------------------------------------
+M4_T, M4_E, M4_W, M4_D = 3, 8, 10, 6
+
+
+def m4_corpus_rows() -> list[tuple[int, int, int]]:
+    """(doc_id, word_id, freq) rows — 4 distinct words per doc, freq 1-3.
+    Doc M4_D-1 is generated but gets NO candidate entities below, so the
+    reference's skip-forever branch (EntLDA2.java:126) is exercised."""
+    rng = np.random.RandomState(17)
+    rows = []
+    for d in range(M4_D):
+        for w in rng.choice(M4_W, size=4, replace=False):
+            rows.append((d, int(w), int(rng.randint(1, 4))))
+    return rows
+
+
+def m4_ent_rows() -> list[tuple[int, int, int, float]]:
+    """(doc_id, ent_id, rel_ent_id, sr) rows — the corpusConceptsSr.txt
+    shape (EntLDA2.processCorpusEntityFile, :637-688): doc d mentions
+    entities {d%E, (d+3)%E} except the last doc (no candidates); each
+    mentioned entity lists 2 SR neighbours with deterministic weights."""
+    rng = np.random.RandomState(29)
+    rows = []
+    for d in range(M4_D - 1):
+        for e in (d % M4_E, (d + 3) % M4_E):
+            for k in (1, 2):
+                rel = (e + k) % M4_E
+                rows.append((d, e, rel, float(np.round(rng.rand(), 3))))
+    return rows
+
+
 # ---- M3 SR-smoothed α (enttopicmodel/EntLDA.java:319-338) ------------
 
 
