@@ -985,6 +985,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " marginal_violations long, cand_violations long",
         )
 
+    def m7_invariants(spark, sf):
+        # M7 LodLda contextual user×movie×feature LDA (lodlda/
+        # LodLda.java:645-676 intended semantics; the Nt_c sign bug in
+        # updateCounts :690-699 and the global-RNG/tie-break quirks are
+        # documented in models/lodlda.py and not reproduced). SURVEY §2.8
+        # originally descoped M7 as an unrelated side project; it is the
+        # reference's third-largest model file, so round 5 builds it for
+        # full §2.8 coverage. (a) a 1-partition run must be bit-identical
+        # to the NumPy oracle — z/context state, all four count
+        # structures, θ/φ/ζ posteriors, the recommendation rank matrix
+        # (computeRecommendationScore :99-134) and top-3 SCRM
+        # (findTopNRecommendation :136-161); (b) a 3-partition AD-LDA run
+        # conserves records (Σ Nmt = N), conserves context counts
+        # (Σ Nct = C·N — the conservation the reference's sign bug
+        # breaks), keeps counts non-negative, and pins every record's
+        # context assignment to its movie's true features after sweep 1.
+        # Inputs: fixtures/samplers.py (shared with tests/test_lodlda_m7).
+        import numpy as np
+
+        from entitysummarization_spark.fixtures.samplers import (
+            M7_C, M7_F, M7_M, M7_T, m7_ctx_rows, m7_rating_rows,
+            m7_test_rows,
+        )
+        from entitysummarization_spark.models.lodlda import (
+            DistributedLodLda, LodLdaConfig, LodLdaOracle, _scrm,
+            ctx_from_rows,
+        )
+
+        ratings = spark.createDataFrame(
+            m7_rating_rows(), "user_id long, movie_id long"
+        )
+        ctx_df = spark.createDataFrame(
+            m7_ctx_rows(), "movie_id long, slot int, feature_id long"
+        )
+        test_df = spark.createDataFrame(
+            m7_test_rows(), "user_id long, movie_id long"
+        )
+        recs: dict[int, list] = {}
+        for u, m in m7_rating_rows():
+            recs.setdefault(u, []).append(m)
+        recs_np = {
+            u: np.asarray(ms, dtype=np.int64) for u, ms in recs.items()
+        }
+        ctx_mat = ctx_from_rows(m7_ctx_rows(), M7_M, M7_C)
+        cfg1 = LodLdaConfig(
+            n_topics=M7_T, n_movies=M7_M, n_features=M7_F,
+            n_contexts=M7_C, n_partitions=1,
+        )
+        orc = LodLdaOracle(recs_np, ctx_mat, cfg1)
+        orc.run(4)
+        dist = DistributedLodLda(spark, ratings, ctx_df, cfg1)
+        dist.run(4)
+        zstate = dist.z_state()
+        z_mismatch_users = abs(len(zstate) - len(orc.user_ids)) + sum(
+            int(
+                u not in zstate
+                or not np.array_equal(zstate[u][0], orc.zs[u])
+                or any(
+                    not np.array_equal(a, b)
+                    for a, b in zip(zstate[u][1], orc.cs[u])
+                )
+            )
+            for u in orc.user_ids
+        )
+        count_mismatches = (
+            int(not np.array_equal(dist.nmt, orc.nmt))
+            + int(not np.array_equal(dist.nct, orc.nct))
+            + int(not np.array_equal(dist.nt_m, orc.nt_m))
+            + int(not np.array_equal(dist.nt_c, orc.nt_c))
+        )
+        th_o = orc.theta()
+        th_d = {
+            int(r["user_id"]): np.asarray(r["theta"])
+            for r in dist.theta_df().collect()
+        }
+        posterior_mismatches = (
+            int(not np.array_equal(dist.phi(), orc.phi()))
+            + int(not np.array_equal(dist.zeta(), orc.zeta()))
+            + sum(
+                int(u not in th_d or not np.array_equal(th_d[u], row))
+                for u, row in th_o.items()
+            )
+        )
+        t_users = sorted({u for u, _m in m7_test_rows()})
+        t_movies = sorted({m for _u, m in m7_test_rows()})
+        rank_o = orc.rank_matrix(t_users, t_movies)
+        rank_d = {
+            (int(r["user_id"]), int(r["movie_id"])): float(r["score"])
+            for r in dist.score_df(test_df).collect()
+        }
+        rank_mismatches = abs(len(rank_d) - len(rank_o)) + sum(
+            int(rank_d.get(k) != v) for k, v in rank_o.items()
+        )
+        user_movies: dict[int, set] = {}
+        for u, m in m7_test_rows():
+            user_movies.setdefault(u, set()).add(m)
+        scrm_mismatch = int(
+            dist.scrm(test_df, 3)
+            != _scrm(rank_o, user_movies, t_users, t_movies, 3)
+        )
+
+        cfg3 = LodLdaConfig(
+            n_topics=M7_T, n_movies=M7_M, n_features=M7_F,
+            n_contexts=M7_C, n_partitions=3,
+        )
+        d3 = DistributedLodLda(spark, ratings, ctx_df, cfg3)
+        d3.run(3)
+        n_records = int(d3.nmt.sum())
+        nct_total = int(d3.nct.sum())
+        neg_cells = int((d3.nmt < 0).sum()) + int((d3.nct < 0).sum())
+        ctx_violations = sum(
+            int(not np.array_equal(c, ctx_mat[int(m)]))
+            for u, (zs, cs) in d3.z_state().items()
+            for m, c in zip(np.sort(recs_np[u]), cs)
+        )
+        return spark.createDataFrame(
+            [(z_mismatch_users, count_mismatches, posterior_mismatches,
+              rank_mismatches, scrm_mismatch, n_records, nct_total,
+              neg_cells, ctx_violations)],
+            "z_mismatch_users long, count_mismatches long,"
+            " posterior_mismatches long, rank_mismatches long,"
+            " scrm_mismatch long, n_records long, nct_total long,"
+            " neg_cells long, ctx_violations long",
+        )
+
     def m3_invariants(spark, sf):
         # M3 SR-smoothed per-doc α (enttopicmodel/EntLDA.java:319-338):
         # (a) 1-partition bit-parity vs the NumPy oracle under a
@@ -1081,9 +1206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # what this ordering encodes): queries that still need their first
     # driver row lead, so any prefix the driver takes certifies them first.
     # This round that is the M-variant invariant queries
-    # (m3/m4/m5/m6 — m4 is NEW this session: the formerly-descoped
-    # EntLDA2, un-descoped by the sparse-Nwte Spark design, needs its
-    # first row) plus the five twins that sat past the cap in r04
+    # (m3/m4/m5/m6/m7 — m4 and m7 are NEW this session: the formerly-
+    # descoped EntLDA2 and LodLda, un-descoped by the sparse-Nwte design
+    # and the user-partitioned AD-LDA design respectively, need their
+    # first rows) plus the five twins that sat past the cap in r04
     # (lang_id_ngram, sessions, g14_tfidf_cosine_capped, g4_cc_star,
     # g7_pagerank — rotated IN per the r04 verdict). Eight primaries that
     # earned green r04 driver rows rotate OUT to the tail (lang_id,
@@ -1101,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m3_invariants": m3_invariants,
         "m5_invariants": m5_invariants,
         "m4_invariants": m4_invariants,
+        "m7_invariants": m7_invariants,
         "lang_id_ngram": lang_id_ngram,
         "sessions": sessions,
         "g14_tfidf_cosine_capped": g14_tfidf_cosine_capped,
@@ -2174,6 +2301,18 @@ def oracle_sql() -> dict[str, str]:
                0::BIGINT AS phi_mismatches, {m4_tokens}::BIGINT AS n_tokens,
                {m4_tokens}::BIGINT AS n_tokens_nwte, 0::BIGINT AS neg_cells,
                0::BIGINT AS marginal_violations, 0::BIGINT AS cand_violations
+    """
+    from entitysummarization_spark.fixtures.samplers import (
+        M7_C, m7_rating_rows,
+    )
+
+    m7_n = len(m7_rating_rows())
+    out["m7_invariants"] = f"""
+        SELECT 0::BIGINT AS z_mismatch_users, 0::BIGINT AS count_mismatches,
+               0::BIGINT AS posterior_mismatches, 0::BIGINT AS rank_mismatches,
+               0::BIGINT AS scrm_mismatch, {m7_n}::BIGINT AS n_records,
+               {m7_n * M7_C}::BIGINT AS nct_total, 0::BIGINT AS neg_cells,
+               0::BIGINT AS ctx_violations
     """
     fx24 = make_fixture(n_files=60, seed=42)
     sub24 = fx24.vocab[fx24.vocab["attr"] <= 2]

@@ -94,6 +94,45 @@ def m4_ent_rows() -> list[tuple[int, int, int, float]]:
     return rows
 
 
+# ---- M7 LodLda contextual user×movie×feature LDA (lodlda/
+# LodLda.java:645-676) --------------------------------------------------
+M7_T, M7_U, M7_M, M7_F, M7_C = 3, 6, 8, 10, 5
+
+
+def m7_rating_rows() -> list[tuple[int, int]]:
+    """(user_id, movie_id) interaction records — 5 distinct movies per
+    user (trainingset rows, LodLda.initializeParameters :746-776)."""
+    rng = np.random.RandomState(41)
+    rows = []
+    for u in range(M7_U):
+        for m in rng.choice(M7_M, size=5, replace=False):
+            rows.append((u, int(m)))
+    return rows
+
+
+def m7_ctx_rows() -> list[tuple[int, int, int]]:
+    """(movie_id, slot, feature_id) — each movie's fixed list of M7_C
+    context features (movieContextMap, readMovieContextFile :830-854;
+    features may repeat across slots, as in the file format)."""
+    rng = np.random.RandomState(53)
+    return [
+        (m, s, int(rng.randint(M7_F)))
+        for m in range(M7_M)
+        for s in range(M7_C)
+    ]
+
+
+def m7_test_rows() -> list[tuple[int, int]]:
+    """(user_id, movie_id) test-set rows — the reference scores the
+    CROSS of the file's user set × movie set (:99-118)."""
+    rng = np.random.RandomState(61)
+    rows = []
+    for u in (0, 2, 4):
+        for m in rng.choice(M7_M, size=2, replace=False):
+            rows.append((u, int(m)))
+    return rows
+
+
 # ---- M3 SR-smoothed α (enttopicmodel/EntLDA.java:319-338) ------------
 
 

@@ -40,8 +40,8 @@ def test_registry_order_protects_flagship():
     assert keys[0] == "kg_pipeline_summaries"
     needs_first_row = [
         "m6_invariants", "m3_invariants", "m5_invariants", "m4_invariants",
-        "lang_id_ngram", "sessions", "g14_tfidf_cosine_capped", "g4_cc_star",
-        "g7_pagerank",
+        "m7_invariants", "lang_id_ngram", "sessions",
+        "g14_tfidf_cosine_capped", "g4_cc_star", "g7_pagerank",
     ]
     first_parked = min(keys.index(k) for k in PARKED_R05)
     assert all(keys.index(k) < first_parked for k in needs_first_row)
