@@ -673,9 +673,14 @@ class DistributedLodLda(CheckpointedStateLifecycle):
             int(r["movie_id"])
             for r in test.select("movie_id").distinct().collect()
         ]
-        pairs = users.crossJoin(
+        # join θ to the (small) test-user set via broadcast FIRST, then
+        # cross with the broadcast movie dim: the distributed θ is never
+        # shuffled for the join (a users-then-θ join order plans a
+        # SortMergeJoin with an Exchange over θ); the window's per-user
+        # partitioning below is the query's only exchange
+        pairs = self.theta_df().join(F.broadcast(users), "user_id").crossJoin(
             F.broadcast(self._movie_dim(movies))
-        ).join(self.theta_df(), "user_id")
+        )
         a = F.zip_with("theta", "phi_m", lambda t, p: t * p)
         pr_m = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
         norm = F.when(pr_m == 0, F.lit(1.0)).otherwise(pr_m)
