@@ -1066,6 +1066,27 @@ def gibbs_sweep_bench(spark, fx, replicate: int = 100,
     out["e2e_speedup"] = round(
         out["sweep_sec_reference"] / out["sweep_sec_native"], 2
     )
+    # fused blocks (sweeps_per_job=5): K sweeps in ONE job amortize the
+    # fixed per-job term (launch + Arrow transfer + checkpoint) that
+    # dominates the unfused native sweep at late chain. Per-sweep time =
+    # best block / 5; exactness anchors in tests/test_gibbs_fused.py.
+    K = 5
+    cfg = GibbsConfig(n_preds=P, n_words=W, base_seed=11,
+                      n_partitions=n_partitions, kernel="native",
+                      sweeps_per_job=K)
+    g = DistributedGibbs(spark, b.corpus, b.obj_pred, b.lam, cfg)
+    g.init_state()
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        g.sweep(n_fused=K)
+        dt = (time.perf_counter() - t0) / K
+        best = dt if best is None or dt < best else best
+    g.close()
+    out["sweep_sec_native_fused5"] = round(best, 3)
+    out["tok_per_sec_native_fused5"] = round(n_tokens / best, 1)
+    print(f"[gibbs] kernel=native fused5 sweep {best:.3f}s "
+          f"({n_tokens / best:.0f} tok/s)", file=sys.stderr)
     out["kernel_micro"] = kernel_micro_bench(b, int(P), int(W))
     canon.unpersist()
     repos.unpersist()

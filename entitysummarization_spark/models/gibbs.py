@@ -282,6 +282,157 @@ def _run_arrow_batches(
         )
 
 
+def _interleave_doc_deltas(n_docs, per_sweep):
+    """Regroup per-sweep changed-token triples by doc.
+
+    ``per_sweep`` is a list of (ch_w, ch_old, ch_new, ch_counts) — one
+    entry per fused sweep, each holding that sweep's flat changed-token
+    arrays with per-doc counts. Returns (dw, dp_old, dp_new, offsets)
+    where offsets (int64[n_docs+1]) delimits each doc's deltas from ALL
+    sweeps, sweep-ordered within a doc. Pure index arithmetic, O(total
+    changes)."""
+    total_counts = np.zeros(n_docs, dtype=np.int64)
+    for _, _, _, cc in per_sweep:
+        total_counts += cc
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(total_counts, out=offsets[1:])
+    total = int(offsets[-1])
+    out_w = np.empty(total, dtype=np.int64)
+    out_old = np.empty(total, dtype=np.int64)
+    out_new = np.empty(total, dtype=np.int64)
+    acc = np.zeros(n_docs, dtype=np.int64)
+    for cw, co, cn, cc in per_sweep:
+        m = int(cc.sum())
+        if m == 0:
+            continue
+        starts = offsets[:-1] + acc
+        seg0 = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(cc[:-1], out=seg0[1:])
+        pos = np.repeat(starts - seg0, cc) + np.arange(m, dtype=np.int64)
+        out_w[pos] = cw
+        out_old[pos] = co
+        out_new[pos] = cn
+        acc += cc
+    return out_w, out_old, out_new, offsets
+
+
+def _run_fused_arrow_batches(
+    batches, lib, const, nwp, np_, P, alpha, seed, sweep0, k,
+):
+    """K sweeps fused into ONE mapInArrow pass (M1/M2/M5 native path).
+
+    Rationale: at late chain the per-sweep cost is dominated by the
+    fixed per-job term (job launch + Arrow state transfer + eager
+    checkpoint, ~0.6 s measured) rather than the kernel; fusing K
+    sweeps amortizes that term K×. Semantics: AD-LDA already lets each
+    partition sweep against counts that are stale ACROSS partitions
+    within a sweep; fusion extends the same staleness across the K
+    fused sweeps (each partition carries its own locally-updated counts
+    from sweep s to s+1 instead of receiving the cross-partition
+    refresh). Two exactness anchors remain:
+
+      - with n_partitions=1 the local counts ARE the global counts, so
+        a fused block is BIT-IDENTICAL to K unfused sweeps (test-gated
+        in test_gibbs_fused.py);
+      - every sweep's integer deltas are emitted (regrouped per doc,
+        sweep-ordered), so the driver's delta refresh reconstructs the
+        EXACT global counts at the block boundary — fusion never
+        degrades the count matrices, only the intermediate broadcast
+        freshness (gated multi-partition by the NDCG floor in
+        test_gibbs_fused.py).
+
+    Per-doc RNG streams are reseeded per (base_seed, sweep, doc)
+    exactly as the unfused path, so fusion changes WHICH counts a
+    sample sees, never the random numbers.
+
+    The partition's batches are buffered (the same data the local
+    checkpoint already holds as executor blocks, so memory is ~2× state
+    for the duration of the pass). ``lib`` None (executor without a C
+    compiler) degrades to the interpreted numba-twin kernel —
+    bit-identical per sweep, so heterogeneous clusters still agree."""
+    import pyarrow as pa
+
+    W = nwp.shape[1]
+    nwp_flat = nwp.ravel().copy()
+    np_arr = np_.copy()
+    csr_indptr = const["csr_indptr"]
+    csr_data = const["csr_data"]
+    lam_beta = const["lam_beta"]
+    slb = np.ascontiguousarray(const["slb"])
+    nd_scratch = np.zeros(P, dtype=np.int64)
+    cdf_scratch = np.empty(max(int(const["max_cand"]), 1), dtype=np.float64)
+
+    buf = []  # (rb_doc_col, words_col, doc_ids_i64, doc_indptr, ws, zs)
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        words_col = rb.column(1)
+        offsets32 = words_col.offsets.to_numpy(zero_copy_only=False)
+        buf.append((
+            rb.column(0),
+            words_col,
+            rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64),
+            (offsets32 - offsets32[0]).astype(np.int64),
+            np.ascontiguousarray(
+                words_col.flatten().to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            ),
+            np.array(
+                rb.column(2).flatten().to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            ),
+        ))
+
+    deltas = [[] for _ in buf]  # per batch: per-sweep change tuples
+    for s in range(k):
+        sweep_idx = sweep0 + s
+        for j, (_, _, doc_ids, doc_indptr, ws_flat, zs_flat) in enumerate(buf):
+            seeds = (
+                (seed * 1_000_003 + sweep_idx * 10_007 + doc_ids * 131)
+                % (2**32 - 1)
+            )
+            if lib is not None:
+                ch = native_kernel.sweep_batch_native(
+                    lib, doc_indptr, ws_flat, zs_flat,
+                    seeds.astype(np.uint32), P, W, nwp_flat, np_arr,
+                    csr_indptr, csr_data, lam_beta, slb, alpha,
+                    None, None, nd_scratch, cdf_scratch,
+                )
+            else:
+                n_tok = ws_flat.size
+                n_docs = len(doc_indptr) - 1
+                cw = np.empty(n_tok, dtype=np.int64)
+                co = np.empty(n_tok, dtype=np.int64)
+                cn = np.empty(n_tok, dtype=np.int64)
+                cc = np.empty(n_docs, dtype=np.int64)
+                n_ch = numba_kernel.sweep_batch_py(
+                    doc_indptr, ws_flat, zs_flat, seeds, P, W, nwp_flat,
+                    np_arr, csr_indptr, csr_data, lam_beta, slb, alpha,
+                    False, np.zeros((0, 0), dtype=np.float64),
+                    np.zeros(0, dtype=np.float64), nd_scratch, cdf_scratch,
+                    cw, co, cn, cc,
+                )
+                ch = (cw[:n_ch], co[:n_ch], cn[:n_ch], cc)
+            deltas[j].append(ch)
+
+    def lst(off, vals):
+        return pa.ListArray.from_arrays(pa.array(off), pa.array(vals))
+
+    for (doc_col, words_col, _, doc_indptr, _, zs_flat), per_sweep in zip(
+        buf, deltas
+    ):
+        n = len(doc_indptr) - 1
+        dw, dold, dnew, ch_off = _interleave_doc_deltas(n, per_sweep)
+        yield pa.RecordBatch.from_arrays(
+            [doc_col, words_col,
+             lst(doc_indptr.astype(np.int32), zs_flat),
+             lst(ch_off.astype(np.int32), dw),
+             lst(ch_off.astype(np.int32), dold),
+             lst(ch_off.astype(np.int32), dnew)],
+            names=["doc_id", "words", "zs", "dw", "dp_old", "dp_new"],
+        )
+
+
 def _run_compiled_batches(
     batches, kern, lib, const, nwp, np_, P, alpha, seed, sweep_idx,
     use_m3, eps,
@@ -388,6 +539,19 @@ class GibbsConfig:
     # kernel the oracle parity tests arbitrate against. ALL produce
     # identical z-chains (test_gibbs_kernels.py).
     kernel: str = "native"
+    # >1 fuses that many sweeps into ONE Spark job (mapInArrow pass):
+    # each partition carries its locally-updated counts across the
+    # fused sweeps instead of receiving the cross-partition refresh —
+    # the AD-LDA staleness extended across the block. Amortizes the
+    # per-job fixed cost (launch + Arrow transfer + checkpoint, ~0.6 s
+    # measured — the dominant per-sweep term at late chain) by the
+    # fusion factor. Exact anchors: bit-identical to unfused at
+    # n_partitions=1; global counts exactly reconstructed from the
+    # block's deltas at every block boundary (test_gibbs_fused.py).
+    # DEFAULT 1: the bit-parity-to-reference contract holds only
+    # unfused for n_partitions>1. Applies to the native non-M3 path;
+    # other paths sweep per-job regardless.
+    sweeps_per_job: int = 1
 
     @property
     def alpha_eff(self) -> float:
@@ -646,10 +810,15 @@ class DistributedGibbs(CheckpointedStateLifecycle):
             self._const_bc = None
         self._retire_broadcast(None)
 
-    # ---- one sweep ----
-    def sweep(self) -> None:
+    # ---- one sweep (or a fused block of n_fused sweeps) ----
+    def sweep(self, n_fused: int = 1) -> None:
         cfg = self.cfg
         sweep_idx = self.sweeps_done
+        if n_fused > 1 and (self.kernel != "native" or self.doc_sr is not None):
+            raise ValueError(
+                "fused sweeps require kernel='native' and no doc_sr (M3 "
+                "re-derives neighbor payloads between sweeps)"
+            )
         bc = self.spark.sparkContext.broadcast((self.nwp, self.np_))
         const_bc = self._ensure_const_bc()
         P, alpha, beta, seed = cfg.n_preds, cfg.alpha_eff, cfg.beta, cfg.base_seed
@@ -746,7 +915,7 @@ class DistributedGibbs(CheckpointedStateLifecycle):
             # falls back to the pandas path only if this executor cannot
             # compile (then via the fast kernel — bit-identical)
             lib = native_kernel.load_native()
-            if lib is None:
+            if lib is None and n_fused == 1:
                 import pyarrow as pa
 
                 def as_pandas():
@@ -758,6 +927,14 @@ class DistributedGibbs(CheckpointedStateLifecycle):
                 return
             const = const_bc.value
             nwp, np_ = bc.value
+            if n_fused > 1:
+                # the fused runner handles lib=None itself (interpreted
+                # twin — bit-identical per sweep, counts carry the same)
+                yield from _run_fused_arrow_batches(
+                    batches, lib, const, nwp, np_, P, alpha, seed,
+                    sweep_idx, n_fused,
+                )
+                return
             yield from _run_arrow_batches(
                 batches, lib, const, nwp, np_, P, alpha, seed, sweep_idx,
             )
@@ -800,7 +977,7 @@ class DistributedGibbs(CheckpointedStateLifecycle):
             swept, reliable=cfg.reliable_checkpoint, eager=False,
         )
         self.state = new_state
-        self.sweeps_done += 1
+        self.sweeps_done += n_fused
         self._apply_count_deltas()
         self._finalize_lazy_checkpoint()
         self._release_old_state(old)
@@ -813,8 +990,18 @@ class DistributedGibbs(CheckpointedStateLifecycle):
     def run(self, n_sweeps: int) -> None:
         if self.state is None:
             self.init_state()
-        for _ in range(n_sweeps):
-            self.sweep()
+        k = max(1, int(self.cfg.sweeps_per_job))
+        if k > 1 and (self.kernel != "native" or self.doc_sr is not None):
+            warnings.warn(
+                "sweeps_per_job>1 applies only to the native non-M3 "
+                "path; sweeping one per job", stacklevel=2,
+            )
+            k = 1
+        done = 0
+        while done < n_sweeps:
+            step = min(k, n_sweeps - done)
+            self.sweep(n_fused=step)
+            done += step
 
     # ---- posteriors ----
     def theta(self, for_pairs: DataFrame | None = None) -> DataFrame:

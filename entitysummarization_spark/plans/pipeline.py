@@ -48,6 +48,7 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
     kernel: str = "native",
+    sweeps_per_job: int = 1,
 ) -> PipelineResult:
     """``checkpoint_dir`` + ``checkpoint_every=k`` saves the sampler state
     every k sweeps (north-rule resume: a killed run restarts from the last
@@ -72,6 +73,7 @@ def run_pipeline(
     cfg = GibbsConfig(
         n_preds=int(n_preds), n_words=int(n_words), alpha=alpha, beta=beta,
         base_seed=base_seed, n_partitions=n_partitions, kernel=kernel,
+        sweeps_per_job=sweeps_per_job,
     )
     gibbs = DistributedGibbs(spark, bundle.corpus, bundle.obj_pred, bundle.lam, cfg)
     if checkpoint_dir and checkpoint_every > 0:
