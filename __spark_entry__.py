@@ -311,6 +311,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_id(spark, sf):
         return textstats.lang_id_en(_load(spark, sf, "documents"))
 
+    def s9_wiki_crawl(spark, sf):
+        # S9 (DbpediaProcessor.java:155-258): the crawl's parse+filter
+        # stage over a saved page snapshot — wiki-shaped HTML is built
+        # JVM-side around each document (independent of the package's
+        # make_page_html test helper, so generator and parser can't
+        # share a bug), then sources/wiki.parse_pages runs the REAL
+        # '#mw-content-text p' extraction, word floor and drop
+        # semantics. The network transport itself is sandbox-untestable
+        # (tests/test_wiki_source.py covers its error path).
+        from entitysummarization_spark.sources.wiki import parse_pages
+
+        docs = _load(spark, sf, "documents")
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("entity"),
+            F.concat(
+                F.lit(
+                    "<html><head><style>p {color:red}</style></head><body>"
+                    "<div id='siteNotice'><p>Not content.</p></div>"
+                    "<div id='mw-content-text'>"
+                    "<table class='infobox'><tr><td>box</td></tr></table>"
+                    "<p>"
+                ),
+                F.col("text"),
+                F.lit(
+                    "</p><script>var skip = 'me';</script>"
+                    "<div class='reflist'><p>See also notes.</p></div>"
+                    "</div><div id='footer'><p>Footer.</p></div>"
+                    "</body></html>"
+                ),
+            ).alias("html"),
+        )
+        return parse_pages(pages, min_words=60)
+
     def lang_id_ngram(spark, sf):
         # Cavnar–Trenkle trigram profiles + CJK-script routing; profile
         # literals shared with the oracle (operators/textstats.LID_PROFILES)
@@ -1228,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m5_invariants": m5_invariants,
         "m4_invariants": m4_invariants,
         "m7_invariants": m7_invariants,
+        "s9_wiki_crawl": s9_wiki_crawl,
         "lang_id_ngram": lang_id_ngram,
         "sessions": sessions,
         "g14_tfidf_cosine_capped": g14_tfidf_cosine_capped,
@@ -2313,6 +2347,24 @@ def oracle_sql() -> dict[str, str]:
                0::BIGINT AS scrm_mismatch, {m7_n}::BIGINT AS n_records,
                {m7_n * M7_C}::BIGINT AS nct_total, 0::BIGINT AS neg_cells,
                0::BIGINT AS ctx_violations
+    """
+    # s9_wiki_crawl: the snapshot pages wrap each doc's text in ONE
+    # content paragraph plus a nested reflist paragraph ("See also
+    # notes.", 3 words); chrome/script/infobox text is outside the
+    # selector. Expected text = whitespace-normalized doc text + the
+    # reflist join; word floor 60 EXCLUSIVE, like the reference's
+    # `words.length > minNumOfWords`.
+    out["s9_wiki_crawl"] = """
+        WITH norm AS (
+          SELECT CAST(doc_id AS VARCHAR) AS entity,
+                 trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+          FROM documents
+        )
+        SELECT entity,
+               t || ' See also notes.' AS text,
+               (len(string_split(t, ' ')) + 3)::INT AS n_words
+        FROM norm
+        WHERE len(string_split(t, ' ')) + 3 > 60
     """
     fx24 = make_fixture(n_files=60, seed=42)
     sub24 = fx24.vocab[fx24.vocab["attr"] <= 2]

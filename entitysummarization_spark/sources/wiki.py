@@ -265,6 +265,37 @@ def entity_pages(
     return todo.mapInPandas(crawl, PAGE_SCHEMA)
 
 
+def parse_pages(
+    pages: DataFrame,
+    min_words: int = 200,
+    entity_col: str = "entity",
+    html_col: str = "html",
+) -> DataFrame:
+    """The crawl's parse+filter stage over an ALREADY-FETCHED page table
+    (a saved crawl snapshot — WARC-style dump, or the offline mirror a
+    100-TB pipeline would stage before re-processing): (entity, html) →
+    (entity, text, n_words), same selector, word floor and drop
+    semantics as ``entity_pages`` (DbpediaProcessor.java:193-199) minus
+    the network. One scan, one Arrow-batched projection — no shuffle."""
+    min_w = int(min_words)
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for entity, html_doc in zip(pdf[entity_col], pdf[html_col]):
+                if html_doc is None:
+                    continue
+                text = parse_content_paragraphs(html_doc)
+                n = len(text.split())
+                if n > min_w:
+                    rows.append((entity, text, n))
+            yield pd.DataFrame(rows, columns=["entity", "text", "n_words"])
+
+    return pages.mapInPandas(run, PAGE_SCHEMA)
+
+
 def write_text_files(pages: DataFrame, output_dir: str) -> int:
     """Reference sink parity: one ``<entity>.txt`` per page
     (DbpediaProcessor.java:193-199). Executor-side foreachPartition —
