@@ -46,6 +46,11 @@ def main() -> None:
                     choices=["native", "numba", "fast", "reference"],
                     help="Gibbs sweep kernel (all bit-identical; native "
                          "falls back to fast where no C compiler exists)")
+    ap.add_argument("--sweeps-per-job", type=int, default=1,
+                    help="fuse this many sweeps into one Spark job "
+                         "(opt-in late-chain throughput mode; exact "
+                         "counts at block boundaries, AD-LDA staleness "
+                         "across the block — see PLANS.md close-out)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -76,6 +81,7 @@ def main() -> None:
     result = run_pipeline(
         spark, repos, vocab=vocab, n_sweeps=args.sweeps, k=args.k,
         base_seed=args.seed, n_partitions=n_parts, kernel=args.kernel,
+        sweeps_per_job=args.sweeps_per_job,
         # mid-run resume points every k sweeps (a long sweep schedule
         # restarts from the last saved sweep, not from zero)
         checkpoint_dir=ck_dir, checkpoint_every=args.checkpoint_every,
