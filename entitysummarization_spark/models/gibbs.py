@@ -282,26 +282,25 @@ def _run_arrow_batches(
         )
 
 
-def _interleave_doc_deltas(n_docs, per_sweep):
-    """Regroup per-sweep changed-token triples by doc.
+def _interleave_doc_delta_cols(n_docs, per_sweep):
+    """Regroup per-sweep changed-token columns by doc.
 
-    ``per_sweep`` is a list of (ch_w, ch_old, ch_new, ch_counts) — one
-    entry per fused sweep, each holding that sweep's flat changed-token
-    arrays with per-doc counts. Returns (dw, dp_old, dp_new, offsets)
-    where offsets (int64[n_docs+1]) delimits each doc's deltas from ALL
-    sweeps, sweep-ordered within a doc. Pure index arithmetic, O(total
-    changes)."""
+    ``per_sweep`` is a list of (cols, counts) — one entry per fused
+    sweep, ``cols`` a tuple of that sweep's flat changed-token arrays
+    (any number of parallel columns) and ``counts`` the per-doc change
+    counts. Returns (out_cols, offsets) where offsets (int64[n_docs+1])
+    delimits each doc's deltas from ALL sweeps, sweep-ordered within a
+    doc. Pure index arithmetic, O(total changes)."""
+    n_cols = len(per_sweep[0][0]) if per_sweep else 0
     total_counts = np.zeros(n_docs, dtype=np.int64)
-    for _, _, _, cc in per_sweep:
+    for _, cc in per_sweep:
         total_counts += cc
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(total_counts, out=offsets[1:])
     total = int(offsets[-1])
-    out_w = np.empty(total, dtype=np.int64)
-    out_old = np.empty(total, dtype=np.int64)
-    out_new = np.empty(total, dtype=np.int64)
+    out_cols = tuple(np.empty(total, dtype=np.int64) for _ in range(n_cols))
     acc = np.zeros(n_docs, dtype=np.int64)
-    for cw, co, cn, cc in per_sweep:
+    for cols, cc in per_sweep:
         m = int(cc.sum())
         if m == 0:
             continue
@@ -309,11 +308,23 @@ def _interleave_doc_deltas(n_docs, per_sweep):
         seg0 = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(cc[:-1], out=seg0[1:])
         pos = np.repeat(starts - seg0, cc) + np.arange(m, dtype=np.int64)
-        out_w[pos] = cw
-        out_old[pos] = co
-        out_new[pos] = cn
+        for out, col in zip(out_cols, cols):
+            out[pos] = col
         acc += cc
-    return out_w, out_old, out_new, offsets
+    return out_cols, offsets
+
+
+def _interleave_doc_deltas(n_docs, per_sweep):
+    """M1 3-column shape of ``_interleave_doc_delta_cols``: per_sweep
+    entries are (ch_w, ch_old, ch_new, ch_counts) → (dw, dp_old,
+    dp_new, offsets)."""
+    cols, offsets = _interleave_doc_delta_cols(
+        n_docs, [((cw, co, cn), cc) for cw, co, cn, cc in per_sweep]
+    )
+    if not cols:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, offsets
+    return (*cols, offsets)
 
 
 def _run_fused_arrow_batches(

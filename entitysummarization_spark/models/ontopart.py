@@ -88,6 +88,10 @@ class OntoPartConfig:
     # back to "python" where no C compiler exists); "python" = the
     # per-token NumPy loop the oracle parity tests arbitrate against
     kernel: str = "native"
+    # >1 fuses that many sweeps into ONE Spark job (same scheme, anchors
+    # and default-1 rationale as GibbsConfig.sweeps_per_job — see
+    # gibbs.py; gates in test_ontopart_fused.py). Native path only.
+    sweeps_per_job: int = 1
 
     @property
     def alpha_eff(self) -> float:
@@ -334,6 +338,154 @@ def _onto_arrow_batches(
         )
 
 
+def _onto_fused_sweep_py(
+    doc_indptr, doc_ids, ws_flat, ts_flat, cs_flat, nct, nwc, nt, nc,
+    cand, T, C, W, alpha, beta, zeta, seed, sweep_idx,
+):
+    """Interpreted twin of one fused M6 sweep over a buffered batch's
+    flat arrays — the SAME per-token loop the unfused python kernel runs
+    (bit-identical to the C kernel by the existing parity tests), so a
+    compiler-less executor agrees with native mid-block. Mutates
+    ts/cs/nct/nwc/nt/nc in place; returns the change tuple."""
+    rng0 = np.random.RandomState(0)
+    n_docs = len(doc_indptr) - 1
+    ch_w, ch_to, ch_co, ch_tn, ch_cn = [], [], [], [], []
+    ch_counts = np.zeros(n_docs, dtype=np.int64)
+    for j in range(n_docs):
+        lo, hi = int(doc_indptr[j]), int(doc_indptr[j + 1])
+        ts = ts_flat[lo:hi]
+        ntd = np.bincount(ts, minlength=T).astype(np.int64)
+        rng = reseed(rng0, seed, sweep_idx, int(doc_ids[j]))
+        n_ch = 0
+        for i in range(lo, hi):
+            w, t_old, c_old = int(ws_flat[i]), int(ts_flat[i]), int(cs_flat[i])
+            ntd[t_old] -= 1
+            nct[t_old, c_old] -= 1
+            nwc[c_old, w] -= 1
+            nt[t_old] -= 1
+            nc[c_old] -= 1
+            t_new, c_new = _sample_token(
+                rng.rand(), ntd, nct, nwc[:, w], nt, nc,
+                cand[w], alpha, beta, zeta, C, W,
+            )
+            ts_flat[i], cs_flat[i] = t_new, c_new
+            ntd[t_new] += 1
+            nct[t_new, c_new] += 1
+            nwc[c_new, w] += 1
+            nt[t_new] += 1
+            nc[c_new] += 1
+            if t_new != t_old or c_new != c_old:
+                ch_w.append(w)
+                ch_to.append(t_old)
+                ch_co.append(c_old)
+                ch_tn.append(t_new)
+                ch_cn.append(c_new)
+                n_ch += 1
+        ch_counts[j] = n_ch
+    as_arr = (np.asarray(x, dtype=np.int64) for x in
+              (ch_w, ch_to, ch_co, ch_tn, ch_cn))
+    return (*as_arr, ch_counts)
+
+
+def _onto_fused_arrow_batches(
+    batches, lib, csr, nct0, nwc0, T, C, W, alpha, beta, zeta, seed,
+    sweep0, k, max_cls,
+):
+    """K fused M6 sweeps in ONE mapInArrow pass — the ontoPart twin of
+    gibbs._run_fused_arrow_batches, same scheme and anchors: partition-
+    local nct/nwc carry across the K sweeps (AD-LDA staleness extended
+    from within-a-sweep to within-a-block); bit-identical to unfused at
+    n_partitions=1; every sweep's (topic, class) deltas are emitted
+    per-doc sweep-ordered so the driver's delta aggregation reconstructs
+    the EXACT global counts at the block boundary (test_ontopart_fused).
+    RNG is per (seed, sweep, doc) — fusion never changes the random
+    numbers, only intermediate count freshness. ``lib`` None degrades to
+    the interpreted per-token twin, bit-identical per sweep."""
+    import pyarrow as pa
+
+    from .gibbs import _interleave_doc_delta_cols
+
+    cls_indptr, cls_data = csr
+    nct_w = nct0.copy()
+    nwc_w = nwc0.copy()
+    nct_flat = nct_w.ravel()   # views: both kernels mutate ONE state
+    nwc_flat = nwc_w.ravel()
+    nt = nct_w.sum(axis=1)
+    nc = nwc_w.sum(axis=1)
+    ntd_scratch = np.zeros(T, dtype=np.int64)
+    termc_scratch = np.empty(max(max_cls, 1), dtype=np.float64)
+    cdf_scratch = np.empty(max(T * max_cls, 1), dtype=np.float64)
+    cand = None
+    if lib is None:
+        cand = {
+            w: cls_data[cls_indptr[w]:cls_indptr[w + 1]]
+            for w in range(len(cls_indptr) - 1)
+        }
+
+    buf = []  # (doc_col, words_col, doc_ids, doc_indptr, ws, ts, cs)
+    for rb in batches:
+        if rb.num_rows == 0:
+            continue
+        words_col = rb.column(1)
+        offsets32 = words_col.offsets.to_numpy(zero_copy_only=False)
+        buf.append((
+            rb.column(0),
+            words_col,
+            rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64),
+            (offsets32 - offsets32[0]).astype(np.int64),
+            np.ascontiguousarray(
+                words_col.flatten().to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            ),
+            np.array(rb.column(2).flatten().to_numpy(zero_copy_only=False),
+                     dtype=np.int64),
+            np.array(rb.column(3).flatten().to_numpy(zero_copy_only=False),
+                     dtype=np.int64),
+        ))
+
+    deltas = [[] for _ in buf]  # per batch: per-sweep (cols, counts)
+    for s in range(k):
+        sweep_idx = sweep0 + s
+        for j, (_, _, doc_ids, doc_indptr, ws_flat, ts_flat, cs_flat) in (
+            enumerate(buf)
+        ):
+            if lib is not None:
+                seeds = (
+                    (seed * 1_000_003 + sweep_idx * 10_007 + doc_ids * 131)
+                    % (2**32 - 1)
+                ).astype(np.uint32)
+                ch = native_kernel.onto_sweep_batch_native(
+                    lib, doc_indptr, ws_flat, ts_flat, cs_flat, seeds,
+                    T, C, W, nct_flat, nwc_flat, nt, nc,
+                    cls_indptr, cls_data, alpha, beta, zeta,
+                    ntd_scratch, termc_scratch, cdf_scratch,
+                )
+            else:
+                ch = _onto_fused_sweep_py(
+                    doc_indptr, doc_ids, ws_flat, ts_flat, cs_flat,
+                    nct_w, nwc_w, nt, nc, cand, T, C, W,
+                    alpha, beta, zeta, seed, sweep_idx,
+                )
+            deltas[j].append((ch[:5], ch[5]))
+
+    def lst(off, vals):
+        return pa.ListArray.from_arrays(pa.array(off), pa.array(vals))
+
+    for (doc_col, words_col, _, doc_indptr, _, ts_flat, cs_flat), ps in (
+        zip(buf, deltas)
+    ):
+        n = len(doc_indptr) - 1
+        cols, ch_off = _interleave_doc_delta_cols(n, ps)
+        off32 = doc_indptr.astype(np.int32)
+        co32 = ch_off.astype(np.int32)
+        yield pa.RecordBatch.from_arrays(
+            [doc_col, words_col, lst(off32, ts_flat), lst(off32, cs_flat)]
+            + [lst(co32, c) for c in cols],
+            names=["doc_id", "words", "ts", "cs",
+                   "dw", "dto", "dco", "dtn", "dcn"],
+        )
+
+
 class DistributedOntoPart(CheckpointedStateLifecycle):
     """Driver-side sweep loop, AD-LDA over DataFrame token state.
 
@@ -469,10 +621,12 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
             np.add.at(self.nwc, (co, w), -n)
             np.add.at(self.nwc, (cn, w), n)
 
-    def sweep(self) -> None:
+    def sweep(self, n_fused: int = 1) -> None:
         cfg = self.cfg
         sweep_idx = self.sweeps_done
         kernel = self.kernel
+        if n_fused > 1 and kernel != "native":
+            raise ValueError("fused sweeps require kernel='native'")
         # the compiled kernel ships CSR-packed candidates; the python
         # kernel the dict (an executor whose compile fails rebuilds the
         # dict from the CSR — cheap, and every kernel is bit-identical)
@@ -560,6 +714,15 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
             # to the pandas path only if this executor cannot compile
             # (then via the python kernel — bit-identical)
             lib = native_kernel.load_native()
+            if n_fused > 1:
+                # the fused runner handles lib=None itself (interpreted
+                # per-token twin — bit-identical per sweep)
+                nct, nwc, cand = bc.value
+                yield from _onto_fused_arrow_batches(
+                    batches, lib, cand, nct, nwc, T, C, W, a, b, z0,
+                    seed, sweep_idx, n_fused, max_cls,
+                )
+                return
             if lib is None:
                 import pyarrow as pa
 
@@ -595,17 +758,35 @@ class DistributedOntoPart(CheckpointedStateLifecycle):
             swept, reliable=cfg.reliable_checkpoint, eager=False,
         )
         self.state = new_state
-        self.sweeps_done += 1
+        self.sweeps_done += n_fused
         self._apply_count_deltas()
         self._finalize_lazy_checkpoint()
         self._release_old_state(old)
         self._retire_broadcast(bc)
 
+    def close(self) -> None:
+        """Release the pending per-sweep broadcast retirement (the M6
+        twin of DistributedGibbs.close; M6 holds no long-lived const
+        broadcast)."""
+        self._retire_broadcast(None)
+
     def run(self, n_sweeps: int) -> None:
         if self.state is None:
             self.init_state()
-        for _ in range(n_sweeps):
-            self.sweep()
+        k = max(1, int(getattr(self.cfg, "sweeps_per_job", 1)))
+        if k > 1 and self.kernel != "native":
+            import warnings
+
+            warnings.warn(
+                "sweeps_per_job>1 applies only to the native kernel; "
+                "sweeping one per job", stacklevel=2,
+            )
+            k = 1
+        done = 0
+        while done < n_sweeps:
+            step = min(k, n_sweeps - done)
+            self.sweep(n_fused=step)
+            done += step
 
     # ---- posteriors ----
     def theta(self) -> DataFrame:
